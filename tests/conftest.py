@@ -1,0 +1,65 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding code paths are exercised on CPU with
+``--xla_force_host_platform_device_count=8`` (the TPU-equivalent code is
+identical under jax.sharding; see SURVEY.md §4 prescription).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def synthetic_digits(n: int, seed: int = 0) -> np.ndarray:
+    """Deterministic synthetic 28x28 'digit-like' grayscale images in [0, 1].
+
+    Random thick strokes + blobs; used wherever the reference used MNIST
+    (no dataset download in this environment)."""
+    rng = np.random.default_rng(seed)
+    imgs = np.zeros((n, 28, 28), dtype=np.float32)
+    yy, xx = np.mgrid[0:28, 0:28]
+    for i in range(n):
+        img = np.zeros((28, 28), dtype=np.float32)
+        # random walk stroke
+        r, c = rng.integers(6, 22, size=2)
+        for _ in range(rng.integers(20, 60)):
+            rr = np.clip(r, 1, 26)
+            cc = np.clip(c, 1, 26)
+            img[rr - 1 : rr + 2, cc - 1 : cc + 2] = 1.0
+            dr, dc = rng.integers(-1, 2, size=2)
+            r = int(np.clip(r + dr, 1, 26))
+            c = int(np.clip(c + dc, 1, 26))
+        # occasional blob / ring
+        if rng.random() < 0.5:
+            cy, cx = rng.integers(8, 20, size=2)
+            rad = rng.integers(3, 7)
+            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            if rng.random() < 0.5:
+                img[d2 <= rad**2] = 1.0
+            else:
+                img[(d2 <= rad**2) & (d2 >= (rad - 2) ** 2)] = 1.0
+        # soften edges a bit so the raw image is non-binary
+        soft = img.copy()
+        soft[1:] = np.maximum(soft[1:], 0.35 * img[:-1])
+        soft[:, 1:] = np.maximum(soft[:, 1:], 0.35 * img[:, :-1])
+        imgs[i] = soft
+    return imgs
+
+
+@pytest.fixture(scope="session")
+def digit_images():
+    return synthetic_digits(24, seed=7)
