@@ -1,0 +1,176 @@
+"""Headline benchmark: MNIST causal-VAE training throughput (images/sec/chip).
+
+Measures the fused adversarial train step (SURVEY.md T1: discriminator update +
+VAE update with BCE+KLD+morph+confusion losses, two Adam optimizers — ref
+mnist_test/01_baseline_causal_vae/train.py:34-93) at the reference's batch size
+(128), on whatever accelerator jax sees (the driver runs this on one real TPU
+chip).
+
+Baseline: the same training step implemented in PyTorch (the reference's
+framework) on the same host, written here independently from the reference's
+hyperparameters — torch has no TPU backend, so this is the honest "what the
+reference stack delivers on this machine" number. BASELINE.json's north-star
+target is >10x images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BATCH = 128
+WARMUP = 5
+STEPS = 30
+TORCH_STEPS = 8
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from causalvae_tpu.config import MnistConfig
+    from causalvae_tpu.models.heads import LatentDiscriminator
+    from causalvae_tpu.models.vae import CausalConvVAE
+    from causalvae_tpu.train.loop import make_mnist_adversarial_step
+    from causalvae_tpu.train.state import TrainState
+
+    cfg = MnistConfig()
+    vae = CausalConvVAE(m_dim=cfg.m_dim, t_dim=cfg.t_dim, z_dim=cfg.z_dim)
+    disc = LatentDiscriminator(t_dim=cfg.t_dim)
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((BATCH, 28, 28, 1), np.float32))
+    m = jnp.asarray(rng.standard_normal((BATCH, cfg.m_dim)).astype(np.float32))
+    t = jax.nn.one_hot(jnp.asarray(rng.integers(0, 10, BATCH)), cfg.t_dim)
+    batch = {"x": x, "m": m, "t": t}
+
+    vae_vars = vae.init({"params": key}, x, m, t, rng=key)
+    d_vars = disc.init(key, jnp.zeros((BATCH, cfg.z_dim)))
+    vae_state = TrainState.create(vae_vars, optax.adam(cfg.lr))
+    d_state = TrainState.create(d_vars, optax.adam(cfg.lr))
+
+    step = jax.jit(make_mnist_adversarial_step(vae, disc, cfg))
+
+    for i in range(WARMUP):
+        vae_state, d_state, metrics = step(
+            vae_state, d_state, batch, jax.random.fold_in(key, i)
+        )
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        vae_state, d_state, metrics = step(
+            vae_state, d_state, batch, jax.random.fold_in(key, 100 + i)
+        )
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def bench_torch() -> float:
+    """Reference-stack baseline: equivalent adversarial step in PyTorch."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    dev = "cuda" if torch.cuda.is_available() else "cpu"
+
+    class VAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc = nn.Sequential(
+                nn.Conv2d(1, 32, 4, 2, 1), nn.ReLU(),
+                nn.Conv2d(32, 64, 4, 2, 1), nn.ReLU(), nn.Flatten(),
+            )
+            self.fc = nn.Sequential(nn.Linear(64 * 49 + 22, 512), nn.ReLU())
+            self.head = nn.Linear(512, 20)
+            self.morph = nn.Sequential(nn.Linear(10, 128), nn.ReLU(), nn.Linear(128, 12))
+            self.dec_fc = nn.Sequential(nn.Linear(22, 64 * 49), nn.ReLU())
+            self.dec = nn.Sequential(
+                nn.ConvTranspose2d(64, 32, 4, 2, 1), nn.ReLU(),
+                nn.ConvTranspose2d(32, 1, 4, 2, 1), nn.Sigmoid(),
+            )
+
+        def forward(self, x, m, t):
+            h = self.fc(torch.cat([self.enc(x), m, t], 1))
+            mu, logvar = self.head(h).chunk(2, 1)
+            z = mu + torch.randn_like(mu) * torch.exp(0.5 * logvar)
+            m_hat = self.morph(t)
+            r = self.dec(self.dec_fc(torch.cat([m_hat, z], 1)).view(-1, 64, 7, 7))
+            return r, m_hat, mu, logvar, z
+
+    class Disc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Linear(10, 64), nn.LeakyReLU(0.2),
+                nn.Linear(64, 64), nn.LeakyReLU(0.2), nn.Linear(64, 10),
+            )
+
+        def forward(self, z):
+            return self.net(z)
+
+    vae, disc = VAE().to(dev), Disc().to(dev)
+    opt_v = torch.optim.Adam(vae.parameters(), 1e-3)
+    opt_d = torch.optim.Adam(disc.parameters(), 1e-3)
+    x = torch.rand(BATCH, 1, 28, 28, device=dev)
+    m = torch.randn(BATCH, 12, device=dev)
+    ti = torch.randint(0, 10, (BATCH,), device=dev)
+    t = F.one_hot(ti, 10).float()
+
+    def one_step():
+        r, m_hat, mu, logvar, z = vae(x, m, t)
+        opt_d.zero_grad()
+        F.cross_entropy(disc(z.detach()), ti).backward()
+        opt_d.step()
+        opt_v.zero_grad()
+        r, m_hat, mu, logvar, z = vae(x, m, t)
+        bce = F.binary_cross_entropy(r, x, reduction="sum")
+        kld = -0.5 * torch.sum(1 + logvar - mu.pow(2) - logvar.exp())
+        morph = 100.0 * F.mse_loss(m_hat, m, reduction="sum")
+        logp = F.log_softmax(disc(z), 1)
+        conf = 1000.0 * F.kl_div(
+            logp, torch.full_like(logp, 0.1), reduction="batchmean"
+        )
+        (bce + kld + morph + conf).backward()
+        opt_v.step()
+
+    for _ in range(2):
+        one_step()
+    if dev == "cuda":
+        torch.cuda.synchronize()
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        one_step()
+    if dev == "cuda":
+        torch.cuda.synchronize()
+    return BATCH * TORCH_STEPS / (time.perf_counter() - t0)
+
+
+def main():
+    jax_ips = bench_jax()
+    try:
+        torch_ips = bench_torch()
+    except Exception:
+        torch_ips = float("nan")
+    vs = jax_ips / torch_ips if torch_ips == torch_ips else None
+    print(
+        json.dumps(
+            {
+                "metric": "mnist_causal_vae_train_throughput",
+                "value": round(jax_ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Hybrid conv-stem ViT VAE backbone and its causal adapter wrapper.
+
+ViTVAE (C8, ref vessel_analysis/00_core/vit_backbone.py:50-199 and the 384x640
+variant latent_translator/models.py:40-126) and CausalViTVAE (C9, ref
+vessel_analysis/00_core/models.py:181-307). Attention runs through a fused
+Pallas flash-attention kernel on TPU (ops/kernels/attention.py) with an XLA
+fallback; sequence length is grid_h*grid_w + 1 CLS token (961 at 768x1280)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from causalvae_tpu.models.mechanism import MorphPredictor
+from causalvae_tpu.models.vae import VAEOutput, batch_norm, conv, conv_t, reparameterize
+
+
+class ResBlock(nn.Module):
+    """conv3-BN-LeakyReLU(0.2)-conv3-BN with identity skip (ref vit_backbone.py:7-19)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = conv(self.channels, 3, 1, 1, dtype=self.dtype)(x)
+        h = batch_norm(dtype=self.dtype)(h, use_running_average=not train)
+        h = nn.leaky_relu(h, 0.2)
+        h = conv(self.channels, 3, 1, 1, dtype=self.dtype)(h)
+        h = batch_norm(dtype=self.dtype)(h, use_running_average=not train)
+        return x + h
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA over the token sequence. The deterministic (inference/abduction)
+    path runs the fused Pallas flash-attention kernel on TPU
+    (ops/kernels/attention.py); training keeps XLA attention so dropout on the
+    attention probabilities matches the reference's semantics
+    (ref vit_backbone.py:30 torch nn.MultiheadAttention(dropout=0.1))."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from causalvae_tpu.ops.kernels.attention import flash_attention
+
+        b, n, _ = x.shape
+        head_dim = self.dim // self.heads
+        qkv = nn.DenseGeneral(
+            (3, self.heads, head_dim), axis=-1, dtype=self.dtype, name="qkv"
+        )(x)
+        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B,H,N,D)
+        if train and self.dropout > 0.0:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.dropout, deterministic=False)(probs)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        else:
+            out = flash_attention(q, k, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer encoder block (ref vit_backbone.py:22-47)."""
+
+    dim: int
+    heads: int
+    mlp_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        qkv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        attn = MultiHeadAttention(
+            self.dim, self.heads, self.dropout, dtype=self.dtype, name="attn"
+        )(qkv, train=train)
+        x = x + attn
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return x + h
+
+
+class ViTVAE(nn.Module):
+    """Hybrid ViT VAE: conv stem (/32) -> transformer -> CLS latent; CNN
+    decoder with ResBlocks; no output sigmoid (ref vit_backbone.py:155)."""
+
+    img_size: Tuple[int, int] = (768, 1280)
+    in_channels: int = 1
+    latent_dim: int = 512
+    embed_dim: int = 256
+    depth: int = 6
+    heads: int = 8
+    mlp_dim: int = 512
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_hw(self):
+        return self.img_size[0] // 32, self.img_size[1] // 32
+
+    def setup(self):
+        d = self.dtype
+        gh, gw = self.grid_hw
+        stem_ch = (32, 64, 128, self.embed_dim, self.embed_dim)
+        self.stem_convs = [conv(c, 3, 2, 1, dtype=d) for c in stem_ch]
+        self.stem_bns = [batch_norm(dtype=d) for _ in stem_ch]
+        self.pos_embedding = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, gh * gw + 1, self.embed_dim)
+        )
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, self.embed_dim)
+        )
+        self.blocks = [
+            ViTBlock(self.embed_dim, self.heads, self.mlp_dim, self.dropout, dtype=d)
+            for _ in range(self.depth)
+        ]
+        self.to_latent = nn.LayerNorm(epsilon=1e-5, dtype=d)
+        self.fc_mu = nn.Dense(self.latent_dim, dtype=d)
+        self.fc_var = nn.Dense(self.latent_dim, dtype=d)
+        self.decoder_input = nn.Dense(self.embed_dim * gh * gw, dtype=d)
+        self.dec_ct = [conv_t(c, 3, 2, 1, output_padding=1, dtype=d) for c in (128, 64, 32, 16, 16)]
+        self.dec_bns = [batch_norm(dtype=d) for _ in range(5)]
+        self.dec_res = [ResBlock(c, dtype=d) for c in (128, 64, 32, 16)]
+        self.dec_out = conv(self.in_channels, 3, 1, 1, dtype=d)
+        self.pos_dropout = nn.Dropout(self.dropout)
+
+    def tokens(self, x, train: bool = False):
+        """Stem + CLS + positional embedding + transformer -> (B, N+1, E)."""
+        h = x
+        for cv, bn in zip(self.stem_convs, self.stem_bns):
+            h = bn(cv(h), use_running_average=not train)
+            h = nn.leaky_relu(h, 0.01)  # torch nn.LeakyReLU() default slope
+        b, gh, gw, c = h.shape
+        h = h.reshape(b, gh * gw, c)
+        cls = jnp.broadcast_to(self.cls_token.astype(h.dtype), (b, 1, c))
+        h = jnp.concatenate([cls, h], axis=1)
+        h = h + self.pos_embedding[:, : h.shape[1]].astype(h.dtype)
+        h = self.pos_dropout(h, deterministic=not train)
+        for blk in self.blocks:
+            h = blk(h, train=train)
+        return h
+
+    def encode(self, x, train: bool = False):
+        h = self.tokens(x, train=train)
+        cls_out = self.to_latent(h[:, 0])
+        return self.fc_mu(cls_out), self.fc_var(cls_out)
+
+    def encode_cls(self, x, train: bool = False):
+        """CLS representation before the latent heads (used by the causal
+        adapter, ref models.py:263-278)."""
+        h = self.tokens(x, train=train)
+        return self.to_latent(h[:, 0])
+
+    def decode(self, z, train: bool = False):
+        gh, gw = self.grid_hw
+        h = self.decoder_input(z)
+        h = h.reshape(-1, gh, gw, self.embed_dim)
+        for i, ct in enumerate(self.dec_ct):
+            h = self.dec_bns[i](ct(h), use_running_average=not train)
+            h = nn.leaky_relu(h, 0.01)
+            if i < len(self.dec_res):
+                h = self.dec_res[i](h, train=train)
+        return self.dec_out(h)
+
+    def __call__(self, x, *, rng: jax.Array, train: bool = False):
+        mu, logvar = self.encode(x, train=train)
+        z = reparameterize(rng, mu, logvar)
+        recon = self.decode(z, train=train)
+        return recon, x, mu, logvar
+
+
+class CausalViTVAE(nn.Module):
+    """Causal adapter around a (pretrained) ViTVAE backbone (C9, ref
+    vessel_analysis/00_core/models.py:181-307): CLS + (M, T) -> enc_adapter ->
+    our Z; (M, Z) -> dec_adapter -> backbone latent -> backbone.decode.
+    Decoder consumes the REAL M during training (ref :299)."""
+
+    img_size: Tuple[int, int] = (768, 1280)
+    m_dim: int = 12
+    t_dim: int = 19
+    z_dim: int = 128
+    vit_latent_dim: int = 512
+    embed_dim: int = 256
+    depth: int = 6
+    heads: int = 8
+    mlp_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = self.dtype
+        self.backbone = ViTVAE(
+            img_size=self.img_size,
+            latent_dim=self.vit_latent_dim,
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            heads=self.heads,
+            mlp_dim=self.mlp_dim,
+            dtype=d,
+        )
+        self.enc_adapter_fc1 = nn.Dense(512, dtype=d)
+        self.enc_adapter_bn = batch_norm(dtype=d)
+        self.enc_adapter_fc2 = nn.Dense(2 * self.z_dim, dtype=d)
+        self.dec_adapter_fc1 = nn.Dense(256, dtype=d)
+        self.dec_adapter_bn = batch_norm(dtype=d)
+        self.dec_adapter_fc2 = nn.Dense(self.vit_latent_dim, dtype=d)
+        self.morph = MorphPredictor(
+            m_dim=self.m_dim, hidden=(64, 64), gaussian=True,
+            activation="leaky_relu", logvar_clip=10.0, dtype=d,
+        )
+
+    def encode(self, x, m, t, train: bool = False):
+        cls_out = self.backbone.encode_cls(x, train=train)
+        h = jnp.concatenate([cls_out, m.astype(cls_out.dtype), t.astype(cls_out.dtype)], axis=1)
+        h = self.enc_adapter_fc1(h)
+        h = self.enc_adapter_bn(h, use_running_average=not train)
+        h = nn.leaky_relu(h, 0.2)
+        mu, logvar = jnp.split(self.enc_adapter_fc2(h), 2, axis=1)
+        logvar = jnp.clip(logvar, -10.0, 10.0)
+        mu = jnp.clip(mu, -100.0, 100.0)
+        return mu, logvar
+
+    def decode(self, m, z, train: bool = False):
+        h = jnp.concatenate([m.astype(z.dtype), z], axis=1)
+        h = self.dec_adapter_fc1(h)
+        h = self.dec_adapter_bn(h, use_running_average=not train)
+        h = nn.leaky_relu(h, 0.2)
+        z_vit = self.dec_adapter_fc2(h)
+        return self.backbone.decode(z_vit, train=train)
+
+    def predict_m(self, t):
+        return self.morph.mean(t)
+
+    def __call__(self, x, m, t, *, rng: jax.Array, train: bool = False) -> VAEOutput:
+        mu, logvar = self.encode(x, m, t, train)
+        z = reparameterize(rng, mu, logvar)
+        m_mu, m_logvar = self.morph(t)
+        recon = self.decode(m, z, train)
+        return VAEOutput(recon, m_mu, mu, logvar, m_mu, m_logvar)

@@ -8,12 +8,22 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard overwrite: the environment pre-sets JAX_PLATFORMS to a TPU plugin (and
+# its site hook re-sets it at interpreter start); tests must run on the
+# virtual 8-device CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's TPU plugin bootstrap (sitecustomize) calls
+# jax.config.update("jax_platforms", ...) at interpreter start, which takes
+# precedence over the env var — override it back before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
