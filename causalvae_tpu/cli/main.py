@@ -1,0 +1,281 @@
+"""One argparse CLI covering the reference's entry points.
+
+The reference scatters ``if __name__ == '__main__'`` scripts over 7 packages
+with sys.path hacks (SURVEY.md L6); here one console tool exposes the same
+workflows:
+
+    causalvae train   {mnist,mnist-bayes,vessel,cvae,vit,cascade}
+    causalvae kfold   [--verify] [--epochs N] [--folds K]
+    causalvae analyze {mechanism,residual,importance,independence,uncertainty,
+                       causal,translate}
+    causalvae counterfactual {do-t,do-m,z-permute}
+
+With no --data/--csv arguments, deterministic synthetic corpora stand in so
+every workflow runs end-to-end in this environment (no MNIST download, no
+tiff corpus). Artifacts (CSV/PNG) land under --out (default ./results).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _mnist_dataset(args, n_features: int = 12):
+    from causalvae_tpu.data.mnist import build_morph_mnist, load_mnist_dir, synthetic_mnist
+
+    if getattr(args, "data", None):
+        images, labels = load_mnist_dir(args.data, train=True)
+    else:
+        images, labels = synthetic_mnist(args.n_synthetic, seed=42)
+    cache = os.path.join(args.out, f"morph_cache_{n_features}.npz")
+    return build_morph_mnist(images, labels, n_features=n_features, cache_path=cache)
+
+
+def _vessel_corpus(args):
+    from causalvae_tpu.data import vessel
+
+    if getattr(args, "csv", None) and getattr(args, "data", None):
+        return vessel.scan_corpus(args.csv, args.data)
+    return vessel.synthetic_corpus(n=args.n_synthetic, hw=(96, 160), seed=0)
+
+
+def cmd_train(args):
+    from causalvae_tpu.train import workloads as W
+
+    run_dir = os.path.join(args.out, f"train_{args.workload}")
+    if args.workload in ("mnist", "mnist-bayes"):
+        ds = _mnist_dataset(args)
+        from causalvae_tpu.config import MnistConfig
+
+        cfg = MnistConfig(epochs=args.epochs or MnistConfig.epochs,
+                          batch_size=args.batch_size or MnistConfig.batch_size)
+        W.train_mnist(ds, cfg, bayesian=args.workload.endswith("bayes"),
+                      run_dir=run_dir, resume=args.resume)
+    elif args.workload == "vessel":
+        corpus = _vessel_corpus(args)
+        from causalvae_tpu.config import VesselConfig
+
+        cfg = VesselConfig(epochs=args.epochs or 150,
+                           batch_size=args.batch_size or 8)
+        hw = (96, 160) if corpus.raw_images is not None else (cfg.img_height, cfg.img_width)
+        W.train_vessel(corpus, cfg, img_hw=hw, run_dir=run_dir, resume=args.resume)
+    elif args.workload == "cvae":
+        ds = _mnist_dataset(args)
+        W.train_cvae(ds, epochs=args.epochs or 30, run_dir=run_dir)
+    elif args.workload == "vit":
+        corpus = _vessel_corpus(args)
+        from causalvae_tpu.data.vessel import iterate_batches
+
+        hw = (96, 160)
+        W.train_vit_vae(
+            lambda e: iterate_batches(corpus, "all", args.batch_size or 4, hw,
+                                      shuffle_seed=e, augment=False),
+            hw, latent_dim=128, epochs=args.epochs or 20, run_dir=run_dir,
+        )
+    elif args.workload == "cascade":
+        from causalvae_tpu.data.cascade import scan_cascade_corpus, synthetic_cascade_corpus
+
+        corpus = (scan_cascade_corpus(args.csv, [args.data])
+                  if args.csv and args.data else synthetic_cascade_corpus())
+        W.train_cascade(corpus, img_hw=(128, 192), epochs=args.epochs or 20,
+                        batch_size=args.batch_size or 4, run_dir=run_dir)
+    print(f"[train] artifacts in {run_dir}")
+
+
+def cmd_kfold(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.data.vessel import make_preprocess
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.ops import losses as L
+    from causalvae_tpu.train import kfold as KF
+    from causalvae_tpu.train.loop import make_vae_eval_step, make_vae_step
+
+    corpus = _vessel_corpus(args)
+    cfg = VesselConfig()
+    hw = (96, 160) if corpus.raw_images is not None else (cfg.img_height, cfg.img_width)
+
+    plan = KF.stratified_kfold(corpus.t_idx, args.folds, seed=42)
+    if args.verify:
+        print(json.dumps(KF.verify_stratification(plan, corpus.group_names), indent=1))
+        return
+
+    # device-resident preprocessed corpus (no augmentation inside k-fold - the
+    # reference's k-fold trainer also trains on mode='all' unaugmented data)
+    pre = make_preprocess(hw)
+    x = np.asarray(pre(jnp.asarray(corpus.raw_images), jnp.zeros(len(corpus.t_idx), np.int32)))
+    data = {"x": x, "m": corpus.m, "t": corpus.one_hot_t(np.arange(len(corpus.t_idx)))}
+
+    model = CausalViTVAE(img_size=hw, m_dim=corpus.m.shape[1],
+                         t_dim=corpus.t_dim, z_dim=32,
+                         embed_dim=64, depth=2, heads=4, mlp_dim=128,
+                         vit_latent_dim=64)
+
+    def loss_fn(out, batch):
+        return L.vessel_loss(out, batch["x"], batch["m"], beta=cfg.beta,
+                             lambda_morph=cfg.lambda_morph,
+                             lambda_sparsity=cfg.lambda_sparsity)
+
+    step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
+    eval_step = make_vae_eval_step(model, loss_fn, has_batch_stats=True)
+
+    b0x = jnp.asarray(x[:2])
+    def init_one(k):
+        return model.init({"params": k, "dropout": k}, b0x,
+                          jnp.asarray(corpus.m[:2]),
+                          jnp.asarray(data["t"][:2]), rng=k, train=True)
+
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), optax.adam(cfg.lr))
+    states, plan, history = KF.train_kfold(
+        init_one=init_one, step_fn=step, eval_fn=eval_step, tx=tx,
+        data=data, labels=corpus.t_idx, epochs=args.epochs or 5,
+        batch_size=args.batch_size or 4, n_folds=args.folds,
+        checkpoint_dir=os.path.join(args.out, "kfold"), log_every=1,
+    )
+    print(f"[kfold] {args.folds} folds trained in parallel; "
+          f"final val losses: {history[-1]['val']['loss'] if history[-1]['val'] else 'n/a'}")
+
+
+def cmd_analyze(args):
+    """Analysis battery over a freshly (briefly) trained MNIST model, or a
+    checkpointed one — mirrors the reference's analyze scripts end-to-end."""
+    import jax.numpy as jnp
+
+    from causalvae_tpu.config import FEATURE_NAMES_12, MnistConfig
+    from causalvae_tpu.train import workloads as W
+
+    ds = _mnist_dataset(args)
+    cfg = MnistConfig(epochs=args.epochs or 3)
+    vae, vae_state, d_state, _ = W.train_mnist(ds, cfg, run_dir=None)
+    variables = {"params": vae_state.params}
+    names = list(FEATURE_NAMES_12)
+    out = {}
+
+    if args.what in ("mechanism", "all"):
+        from causalvae_tpu.analysis.mechanism import mechanism_validity, phase1_importance
+
+        out["mechanism"] = mechanism_validity(vae, variables, ds.m, ds.t, names)
+        out["phase1"] = {k: v for k, v in phase1_importance(vae, variables, 10, names).items()
+                         if k != "predictions"}
+    if args.what in ("residual", "all"):
+        from causalvae_tpu.analysis.residual import residual_leakage_analysis
+
+        r = residual_leakage_analysis(vae, variables, ds.x, ds.m, ds.t, ds.labels,
+                                      epochs=3)
+        out["residual"] = {"accuracy": r["accuracy"], "verdict": r["verdict"]}
+    if args.what in ("independence", "all"):
+        from causalvae_tpu.analysis.independence import conditional_independence_test
+
+        out["independence"] = conditional_independence_test(
+            ds.x, ds.m, ds.t, epochs=5)
+    if args.what in ("uncertainty", "all"):
+        from causalvae_tpu.analysis.mechanism import uncertainty_table
+
+        if vae.gaussian_mechanism:
+            u = uncertainty_table(vae, variables, 10, names)
+            out["uncertainty"] = u["per_condition"]
+        else:
+            out["uncertainty"] = "deterministic mechanism (train mnist-bayes for sigma)"
+    if args.what in ("causal", "all"):
+        from causalvae_tpu.analysis.causal_checks import causal_validation_report
+
+        by_cond = {c: ds.m[ds.labels == c] for c in range(10)}
+        a, b = args.pair
+        out["causal"] = causal_validation_report(by_cond, a, b, names)
+    print(json.dumps(out, indent=1, default=str))
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, f"analyze_{args.what}.json"), "w") as f:
+        json.dump(out, f, indent=1, default=str)
+
+
+def cmd_counterfactual(args):
+    import jax
+    import jax.numpy as jnp
+
+    from causalvae_tpu.analysis import plots
+    from causalvae_tpu.config import MnistConfig
+    from causalvae_tpu.scm import intervene as I
+    from causalvae_tpu.train import workloads as W
+
+    ds = _mnist_dataset(args)
+    cfg = MnistConfig(epochs=args.epochs or 3)
+    vae, vae_state, _, _ = W.train_mnist(ds, cfg, run_dir=None)
+    variables = {"params": vae_state.params}
+    x, m, t = jnp.asarray(ds.x[:6]), jnp.asarray(ds.m[:6]), jnp.asarray(ds.t[:6])
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.mode == "do-t":
+        grid = I.do_t_grid(vae, variables, x, m, t, jnp.eye(10, dtype=jnp.float32))
+        plots.intervention_grid(ds.x[:6], grid,
+                                os.path.join(args.out, "do_t_grid.png"))
+        print(f"[counterfactual] grid {grid.shape} -> do_t_grid.png")
+    elif args.mode == "do-m":
+        sweep = jnp.linspace(-2.0, 2.0, 5)
+        out = I.do_m_sweep(vae, variables, x[:1], m[:1], t[:1],
+                           jnp.arange(m.shape[1]), sweep)
+        for f in range(out.shape[1]):
+            plots.sweep_strip(np.asarray(out[0, f]), np.asarray(sweep),
+                              os.path.join(args.out, f"do_m_f{f}.png"),
+                              feature_name=str(f))
+        print(f"[counterfactual] sweeps {out.shape} -> do_m_f*.png")
+    elif args.mode == "z-permute":
+        perm = jnp.asarray(np.roll(np.arange(6), 1))
+        out = I.z_permute_decode(vae, variables, x, m, t, perm)
+        plots.recon_triptych(ds.x[:4], np.asarray(out[:4]),
+                             os.path.join(args.out, "z_permute.png"))
+        print(f"[counterfactual] z-permute {out.shape} -> z_permute.png")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("causalvae", description=__doc__)
+    p.add_argument("--out", default="results")
+    p.add_argument("--n-synthetic", type=int, default=1024)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("workload", choices=["mnist", "mnist-bayes", "vessel", "cvae", "vit", "cascade"])
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--batch-size", type=int)
+    t.add_argument("--data"), t.add_argument("--csv")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    k = sub.add_parser("kfold")
+    k.add_argument("--epochs", type=int)
+    k.add_argument("--folds", type=int, default=5)
+    k.add_argument("--batch-size", type=int)
+    k.add_argument("--verify", action="store_true")
+    k.add_argument("--data"), k.add_argument("--csv")
+    k.set_defaults(fn=cmd_kfold)
+
+    a = sub.add_parser("analyze")
+    a.add_argument("what", choices=["mechanism", "residual", "importance",
+                                    "independence", "uncertainty", "causal", "all"])
+    a.add_argument("--epochs", type=int)
+    a.add_argument("--pair", type=int, nargs=2, default=(1, 8))
+    a.add_argument("--data")
+    a.set_defaults(fn=cmd_analyze)
+
+    c = sub.add_parser("counterfactual")
+    c.add_argument("mode", choices=["do-t", "do-m", "z-permute"])
+    c.add_argument("--epochs", type=int)
+    c.add_argument("--data")
+    c.set_defaults(fn=cmd_counterfactual)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,11 +77,13 @@ def make_mnist_adversarial_step(
 
 
 def make_vae_step(model, loss_fn: Callable, has_batch_stats: bool = True,
-                  needs_dropout: bool = False):
+                  needs_dropout: bool = False, train_kw: bool = True):
     """Generic single-optimizer VAE step.
 
     loss_fn(out, batch) -> (total, metrics). Handles BatchNorm batch_stats
-    mutation inside the gradient computation (train=True path)."""
+    mutation inside the gradient computation (train=True path). Models whose
+    __call__ takes no ``train`` kwarg (pure-conv, no BatchNorm/dropout) pass
+    train_kw=False."""
 
     def step(state: TrainState, batch, rng: jax.Array):
         r_model, r_drop = jax.random.split(rng)
@@ -90,7 +92,9 @@ def make_vae_step(model, loss_fn: Callable, has_batch_stats: bool = True,
             variables = {"params": params}
             if has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            kwargs = dict(rng=r_model, train=True)
+            kwargs = dict(rng=r_model)
+            if train_kw:
+                kwargs["train"] = True
             rngs = {"dropout": r_drop} if needs_dropout else None
             if has_batch_stats:
                 out, mutated = model.apply(
@@ -113,9 +117,11 @@ def make_vae_step(model, loss_fn: Callable, has_batch_stats: bool = True,
     return step
 
 
-def make_vae_eval_step(model, loss_fn: Callable, has_batch_stats: bool = True):
+def make_vae_eval_step(model, loss_fn: Callable, has_batch_stats: bool = True,
+                       train_kw: bool = True):
     def step(state: TrainState, batch, rng: jax.Array):
-        out = model.apply(state.variables, *batch_args(batch), rng=rng, train=False)
+        kwargs = {"train": False} if train_kw else {}
+        out = model.apply(state.variables, *batch_args(batch), rng=rng, **kwargs)
         _, metrics = loss_fn(out, batch)
         return metrics
 
