@@ -1,0 +1,171 @@
+"""Model-specific torch->flax checkpoint name maps (T8).
+
+Builds the {flax_flat_key: (torch_key, converter)} maps consumed by
+checkpoints.smart_port for the reference's vessel checkpoints:
+ViTVAE (ref vessel_analysis/00_core/vit_backbone.py:50-156, near-duplicate
+latent_translator/models.py:40-126) and CausalViTVAE (ref
+vessel_analysis/00_core/models.py:181-307). Handles the layout conversions —
+torch Conv/ConvTranspose/Linear kernels, BatchNorm running stats, and
+nn.MultiheadAttention packed in_proj -> flax DenseGeneral (E, 3, H, D) —
+plus bicubic pos-embedding interpolation for shape-mismatched restores
+(ref latent_translator/main.py:35-87).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from causalvae_tpu.train.checkpoints import (
+    flatten_params,
+    smart_port,
+    torch_conv_to_flax,
+    torch_convT_to_flax,
+    torch_linear_to_flax,
+    unflatten_params,
+)
+
+_ID = lambda a: np.asarray(a)  # noqa: E731
+
+# torch stem Sequential indices: conv at 0,3,6,9,12; BN at 1,4,7,10,13
+_STEM_CONV_IDX = (0, 3, 6, 9, 12)
+_STEM_BN_IDX = (1, 4, 7, 10, 13)
+# torch decoder Sequential: ConvT at 0,4,8,12,16; BN at 1,5,9,13,17;
+# ResBlock at 3,7,11,15; output conv at 19
+_DEC_CT_IDX = (0, 4, 8, 12, 16)
+_DEC_BN_IDX = (1, 5, 9, 13, 17)
+_DEC_RES_IDX = (3, 7, 11, 15)
+_DEC_OUT_IDX = 19
+
+
+def _qkv_kernel(heads: int, head_dim: int):
+    def conv(w):  # torch in_proj_weight (3E, E) -> (E, 3, H, D)
+        e = w.shape[1]
+        return np.transpose(w, (1, 0)).reshape(e, 3, heads, head_dim)
+
+    return conv
+
+
+def _qkv_bias(heads: int, head_dim: int):
+    def conv(b):  # (3E,) -> (3, H, D)
+        return b.reshape(3, heads, head_dim)
+
+    return conv
+
+
+def _bn(prefix_flax: str, prefix_torch: str, params: Dict, stats: Dict):
+    params[f"{prefix_flax}/scale"] = (f"{prefix_torch}.weight", _ID)
+    params[f"{prefix_flax}/bias"] = (f"{prefix_torch}.bias", _ID)
+    stats[f"{prefix_flax}/mean"] = (f"{prefix_torch}.running_mean", _ID)
+    stats[f"{prefix_flax}/var"] = (f"{prefix_torch}.running_var", _ID)
+
+
+def vitvae_name_maps(
+    depth: int = 6, heads: int = 8, embed_dim: int = 256, prefix: str = ""
+) -> Tuple[Dict, Dict]:
+    """(params_map, batch_stats_map) for ViTVAE; prefix='backbone/' (flax) +
+    'backbone.' (torch) when wrapped inside CausalViTVAE."""
+    head_dim = embed_dim // heads
+    fpre = prefix.replace(".", "/")
+    tpre = prefix.replace("/", ".")
+    P: Dict = {}
+    S: Dict = {}
+    for i, (ci, bi) in enumerate(zip(_STEM_CONV_IDX, _STEM_BN_IDX)):
+        P[f"{fpre}stem_convs_{i}/kernel"] = (f"{tpre}stem.{ci}.weight", torch_conv_to_flax)
+        P[f"{fpre}stem_convs_{i}/bias"] = (f"{tpre}stem.{ci}.bias", _ID)
+        _bn(f"{fpre}stem_bns_{i}", f"{tpre}stem.{bi}", P, S)
+    P[f"{fpre}pos_embedding"] = (f"{tpre}pos_embedding", _ID)
+    P[f"{fpre}cls_token"] = (f"{tpre}cls_token", _ID)
+    for d in range(depth):
+        fb, tb = f"{fpre}blocks_{d}", f"{tpre}transformer.{d}"
+        P[f"{fb}/LayerNorm_0/scale"] = (f"{tb}.norm1.weight", _ID)
+        P[f"{fb}/LayerNorm_0/bias"] = (f"{tb}.norm1.bias", _ID)
+        P[f"{fb}/attn/qkv/kernel"] = (f"{tb}.attn.in_proj_weight", _qkv_kernel(heads, head_dim))
+        P[f"{fb}/attn/qkv/bias"] = (f"{tb}.attn.in_proj_bias", _qkv_bias(heads, head_dim))
+        P[f"{fb}/attn/proj/kernel"] = (f"{tb}.attn.out_proj.weight", torch_linear_to_flax)
+        P[f"{fb}/attn/proj/bias"] = (f"{tb}.attn.out_proj.bias", _ID)
+        P[f"{fb}/LayerNorm_1/scale"] = (f"{tb}.norm2.weight", _ID)
+        P[f"{fb}/LayerNorm_1/bias"] = (f"{tb}.norm2.bias", _ID)
+        P[f"{fb}/Dense_0/kernel"] = (f"{tb}.mlp.0.weight", torch_linear_to_flax)
+        P[f"{fb}/Dense_0/bias"] = (f"{tb}.mlp.0.bias", _ID)
+        P[f"{fb}/Dense_1/kernel"] = (f"{tb}.mlp.3.weight", torch_linear_to_flax)
+        P[f"{fb}/Dense_1/bias"] = (f"{tb}.mlp.3.bias", _ID)
+    for name in ("to_latent",):
+        P[f"{fpre}{name}/scale"] = (f"{tpre}{name}.weight", _ID)
+        P[f"{fpre}{name}/bias"] = (f"{tpre}{name}.bias", _ID)
+    for name in ("fc_mu", "fc_var", "decoder_input"):
+        P[f"{fpre}{name}/kernel"] = (f"{tpre}{name}.weight", torch_linear_to_flax)
+        P[f"{fpre}{name}/bias"] = (f"{tpre}{name}.bias", _ID)
+    for i, (ci, bi) in enumerate(zip(_DEC_CT_IDX, _DEC_BN_IDX)):
+        P[f"{fpre}dec_ct_{i}/kernel"] = (f"{tpre}decoder.{ci}.weight", torch_convT_to_flax)
+        P[f"{fpre}dec_ct_{i}/bias"] = (f"{tpre}decoder.{ci}.bias", _ID)
+        _bn(f"{fpre}dec_bns_{i}", f"{tpre}decoder.{bi}", P, S)
+    for i, ri in enumerate(_DEC_RES_IDX):
+        fr, tr = f"{fpre}dec_res_{i}", f"{tpre}decoder.{ri}.conv"
+        P[f"{fr}/Conv_0/kernel"] = (f"{tr}.0.weight", torch_conv_to_flax)
+        P[f"{fr}/Conv_0/bias"] = (f"{tr}.0.bias", _ID)
+        _bn(f"{fr}/BatchNorm_0", f"{tr}.1", P, S)
+        P[f"{fr}/Conv_1/kernel"] = (f"{tr}.3.weight", torch_conv_to_flax)
+        P[f"{fr}/Conv_1/bias"] = (f"{tr}.3.bias", _ID)
+        _bn(f"{fr}/BatchNorm_1", f"{tr}.4", P, S)
+    P[f"{fpre}dec_out/kernel"] = (f"{tpre}decoder.{_DEC_OUT_IDX}.weight", torch_conv_to_flax)
+    P[f"{fpre}dec_out/bias"] = (f"{tpre}decoder.{_DEC_OUT_IDX}.bias", _ID)
+    return P, S
+
+
+def causal_vitvae_name_maps(depth: int = 6, heads: int = 8, embed_dim: int = 256):
+    """Maps for the full CausalViTVAE (backbone + adapters + morph heads,
+    ref models.py:207-250)."""
+    P, S = vitvae_name_maps(depth, heads, embed_dim, prefix="backbone/")
+    for fl, tl in (("enc_adapter_fc1", "enc_adapter.0"),
+                   ("enc_adapter_fc2", "enc_adapter.3"),
+                   ("dec_adapter_fc1", "dec_adapter.0"),
+                   ("dec_adapter_fc2", "dec_adapter.3")):
+        P[f"{fl}/kernel"] = (f"{tl}.weight", torch_linear_to_flax)
+        P[f"{fl}/bias"] = (f"{tl}.bias", _ID)
+    _bn("enc_adapter_bn", "enc_adapter.1", P, S)
+    _bn("dec_adapter_bn", "dec_adapter.1", P, S)
+    # morph predictor: shared_{0,1} + mu/logvar heads
+    for i, ti in enumerate((0, 2)):
+        P[f"morph/shared_{i}/kernel"] = (f"morph_predictor_shared.{ti}.weight", torch_linear_to_flax)
+        P[f"morph/shared_{i}/bias"] = (f"morph_predictor_shared.{ti}.bias", _ID)
+    for head in ("mu", "logvar"):
+        P[f"morph/{head}/kernel"] = (f"morph_predictor_{head}.weight", torch_linear_to_flax)
+        P[f"morph/{head}/bias"] = (f"morph_predictor_{head}.bias", _ID)
+    return P, S
+
+
+def port_vitvae_checkpoint(
+    variables: Dict,
+    torch_state: Dict[str, np.ndarray],
+    *,
+    causal: bool = False,
+    depth: int = 6,
+    heads: int = 8,
+    embed_dim: int = 256,
+    src_grid: Optional[Tuple[int, int]] = None,
+    dst_grid: Optional[Tuple[int, int]] = None,
+) -> Tuple[Dict, list]:
+    """Port a reference checkpoint into freshly-initialized flax variables.
+
+    Returns (variables, skipped). strict=False semantics: mismatched shapes
+    are skipped (except pos-embedding, which is interpolated when the grids
+    are given — the smart_load_weights path)."""
+    maps = (causal_vitvae_name_maps if causal else vitvae_name_maps)(
+        depth, heads, embed_dim
+    )
+    pos_key = ("backbone/" if causal else "") + "pos_embedding"
+    flat_p = flatten_params(variables["params"])
+    ported_p, skipped_p = smart_port(
+        flat_p, torch_state, maps[0],
+        pos_embedding_key=pos_key, src_grid=src_grid, dst_grid=dst_grid,
+    )
+    out = {"params": unflatten_params(ported_p)}
+    skipped = list(skipped_p)
+    if "batch_stats" in variables:
+        flat_s = flatten_params(variables["batch_stats"])
+        ported_s, skipped_s = smart_port(flat_s, torch_state, maps[1])
+        out["batch_stats"] = unflatten_params(ported_s)
+        skipped += skipped_s
+    return out, skipped
