@@ -252,16 +252,21 @@ def iterate_batches(
     shuffle_seed: Optional[int] = None,
     augment: Optional[bool] = None,
     drop_remainder: bool = True,
+    use_native: Optional[bool] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {'x': (B,H,W,1) device-transformed, 'm': (B,12), 't': (B,T)}.
 
     Train mode enumerates the 4x augmented index space (sample, aug) like the
-    reference's len*4 dataset (ref dataset.py:186-200)."""
+    reference's len*4 dataset (ref dataset.py:186-200).
+
+    File-backed corpora route decode+resize+normalize+binarize through the
+    native C++ prefetcher (causalvae_tpu.native) when available — the decode
+    pipeline runs in a background thread pool so the accelerator never waits
+    on IO; in-memory corpora use the jitted device transform."""
     import jax.numpy as jnp
 
     augment = (mode == "train") if augment is None else augment
     idx = corpus.splits[mode]
-    pre = make_preprocess(img_hw)
     pairs = (
         np.stack(np.meshgrid(idx, np.arange(4), indexing="ij"), -1).reshape(-1, 2)
         if augment
@@ -269,6 +274,36 @@ def iterate_batches(
     )
     if shuffle_seed is not None:
         np.random.default_rng(shuffle_seed).shuffle(pairs)
+
+    file_backed = corpus.raw_images is None
+    if use_native is None:
+        if file_backed:
+            from causalvae_tpu import native
+
+            use_native = native.available()
+        else:
+            use_native = False
+
+    if file_backed and use_native:
+        from causalvae_tpu import native
+
+        loader = native.NativeBatchLoader(
+            corpus.paths, pairs[:, 0], img_hw, batch_size,
+            augs=pairs[:, 1], binarize=True,
+        )
+        try:
+            for x, samples in loader:
+                yield {
+                    "x": jnp.asarray(x),
+                    "m": corpus.m[samples],
+                    "t": corpus.one_hot_t(samples),
+                    "labels": corpus.t_idx[samples],
+                }
+        finally:
+            loader.close()
+        return
+
+    pre = make_preprocess(img_hw)
     stop = len(pairs) - (len(pairs) % batch_size) if drop_remainder else len(pairs)
     for s in range(0, stop, batch_size):
         chunk = pairs[s : s + batch_size]
