@@ -46,15 +46,26 @@ def _xla_terms(recon, x, pos_weight):
 
 
 def _kernel(pw_ref, recon_ref, x_ref, out_ref):
-    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental import pallas as pl
 
     pw = pw_ref[0]
     r = recon_ref[:]
     x = x_ref[:]
     d = r - x
     weight = 1.0 + (pw - 1.0) * x
-    out_ref[0, 0] = jnp.sum(d * d * weight)
-    out_ref[0, 1] = jnp.sum(jnp.abs(r) * (x < 0.1).astype(jnp.float32))
+    rl = jnp.sum(d * d * weight)
+    sp = jnp.sum(jnp.abs(r) * (x < 0.1).astype(jnp.float32))
+
+    # TPU grid steps run sequentially on one core: accumulate both sums into a
+    # single SMEM cell pair (a per-step-partials output would need an (8, 128)
+    # tile, which Mosaic rejects for a (grid, 2) array).
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
+
+    out_ref[0, 0] += rl
+    out_ref[0, 1] += sp
 
 
 def _pallas_terms(recon_flat: jnp.ndarray, x_flat: jnp.ndarray, pos_weight):
@@ -77,8 +88,8 @@ def _pallas_terms(recon_flat: jnp.ndarray, x_flat: jnp.ndarray, pos_weight):
                 (BLOCK_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, 2), jnp.float32),
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=7 * rows * LANE,
             bytes_accessed=2 * rows * LANE * 4 + grid * 8,
@@ -86,7 +97,7 @@ def _pallas_terms(recon_flat: jnp.ndarray, x_flat: jnp.ndarray, pos_weight):
         ),
         interpret=jax.default_backend() != "tpu",
     )(pw, recon_flat, x_flat)
-    return partials[:, 0].sum(), partials[:, 1].sum()
+    return partials[0, 0], partials[0, 1]
 
 
 def _flatten_pad(a: jnp.ndarray) -> jnp.ndarray:

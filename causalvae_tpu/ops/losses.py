@@ -135,8 +135,13 @@ def vessel_loss(
     *, beta: float = 0.5, lambda_morph: float = 10000.0, lambda_sparsity: float = 0.3,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Total vessel objective (ref train_kfold.py:66-71):
-    recon + beta*KLD + lambda_morph*NLL + 0.3*sparsity."""
-    recon_loss, sparsity = vessel_recon_terms(out.recon_x, x)
+    recon + beta*KLD + lambda_morph*NLL + 0.3*sparsity.
+
+    The image terms run through the single-pass Pallas reduction on TPU
+    (ops/kernels/elbo.py; XLA fallback elsewhere)."""
+    from causalvae_tpu.ops.kernels.elbo import vessel_recon_terms_fused
+
+    recon_loss, sparsity = vessel_recon_terms_fused(out.recon_x, x)
     loss_kld = kld_sum(out.mu, out.logvar)
     loss_morph = gaussian_nll_sum(m, out.m_mu, out.m_logvar)
     total = recon_loss + beta * loss_kld + lambda_morph * loss_morph + lambda_sparsity * sparsity
