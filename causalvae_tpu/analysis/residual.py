@@ -59,6 +59,7 @@ def train_classifier_on(
     step = jax.jit(make_classifier_step(model))
     rng = np.random.default_rng(seed)
     n = len(x)
+    batch_size = min(batch_size, n)  # corpora smaller than one batch
     acc = 0.0
     for _ in range(epochs):
         idx = rng.permutation(n)

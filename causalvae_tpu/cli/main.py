@@ -165,6 +165,29 @@ def cmd_analyze(args):
         out["mechanism"] = mechanism_validity(vae, variables, ds.m, ds.t, names)
         out["phase1"] = {k: v for k, v in phase1_importance(vae, variables, 10, names).items()
                          if k != "predictions"}
+    if args.what in ("importance", "all"):
+        import jax
+
+        from causalvae_tpu.analysis.importance import compare_phases, phase2_importance
+        from causalvae_tpu.analysis.mechanism import phase1_importance
+
+        z = jax.random.normal(jax.random.PRNGKey(999), (32, cfg.z_dim))
+
+        def decode_fn(t_eye, z_samples):
+            def one_t(t1):
+                m_hat = vae.apply(variables, t1[None], method=vae.predict_m)
+                mm = jnp.broadcast_to(m_hat, (z_samples.shape[0], m_hat.shape[-1]))
+                return vae.apply(variables, mm, z_samples, method=vae.decode)
+
+            return jax.vmap(one_t)(t_eye)
+
+        p1 = phase1_importance(vae, variables, 10, names)
+        p2 = phase2_importance(decode_fn, z, 10, n_features=12, feature_names=names)
+        out["importance"] = {
+            "phase1_ranking": p1["ranking"],
+            "phase2_ranking": p2["ranking"],
+            "comparison": compare_phases(p1, p2, names),
+        }
     if args.what in ("residual", "all"):
         from causalvae_tpu.analysis.residual import residual_leakage_analysis
 

@@ -103,6 +103,7 @@ class MorphDataset:
         idx = np.arange(n)
         if rng is not None:
             rng.shuffle(idx)
+        batch_size = min(batch_size, n)  # corpora smaller than one batch
         stop = n - (n % batch_size) if drop_remainder else n
         for s in range(0, stop, batch_size):
             sel = idx[s : s + batch_size]
