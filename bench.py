@@ -54,36 +54,26 @@ def bench_jax() -> float:
     vae_state = TrainState.create(vae_vars, optax.adam(cfg.lr))
     d_state = TrainState.create(d_vars, optax.adam(cfg.lr))
 
+    from causalvae_tpu.train.scan_loop import make_scan_epoch
+
     step = make_mnist_adversarial_step(vae, disc, cfg)
 
     # Train-loop-on-device: scan STEPS optimizer steps inside one XLA program
     # (real per-step data via a stacked leading axis), so host->device dispatch
     # overhead is amortized exactly as a production TPU input pipeline would.
-    def epoch(vae_state, d_state, batches, rng):
-        def body(carry, xs):
-            vs, ds = carry
-            b, r = xs
-            vs, ds, metrics = step(vs, ds, b, r)
-            return (vs, ds), metrics["loss"]
-
-        (vae_state, d_state), losses = jax.lax.scan(
-            body, (vae_state, d_state), (batches, rng)
-        )
-        return vae_state, d_state, losses
-
-    run = jax.jit(epoch, donate_argnums=(0, 1))
+    run = jax.jit(make_scan_epoch(step, n_states=2), donate_argnums=0)
     stacked = {
         k: jnp.broadcast_to(v, (STEPS,) + v.shape) for k, v in batch.items()
     }
     rngs = jax.random.split(key, STEPS)
 
-    vae_state, d_state, losses = run(vae_state, d_state, stacked, rngs)
-    float(np.asarray(losses).sum())  # compile + warmup; host fetch = hard sync
+    states, metrics = run((vae_state, d_state), stacked, rngs)
+    float(np.asarray(metrics["loss"]).sum())  # compile+warmup; fetch = hard sync
     t0 = time.perf_counter()
-    vae_state, d_state, losses = run(vae_state, d_state, stacked, rngs)
+    states, metrics = run(states, stacked, rngs)
     # device->host fetch is the only reliable completion barrier through the
     # remote-execution tunnel (block_until_ready returns early there)
-    float(np.asarray(losses).sum())
+    float(np.asarray(metrics["loss"]).sum())
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt
 
