@@ -155,7 +155,7 @@ def train_vessel(
     epochs = epochs or cfg.epochs
     model = model or CausalViTVAE(
         img_size=img_hw, m_dim=corpus.m.shape[1], t_dim=corpus.t_dim,
-        z_dim=cfg.z_dim,
+        z_dim=cfg.z_dim, dtype=jnp.dtype(cfg.compute_dtype),
     )
 
     def loss_fn(out, batch):

@@ -96,3 +96,23 @@ def test_cli_analyze_importance(tmp_path):
     assert len(imp["phase1_ranking"]) == 12
     assert len(imp["phase2_ranking"]) == 12
     assert "rank_correlation" in imp["comparison"]
+
+
+def test_train_vessel_bf16_compute():
+    """compute_dtype='bfloat16' trains with f32 params and finite losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.data.vessel import synthetic_corpus
+    from causalvae_tpu.train.workloads import train_vessel
+
+    corpus = synthetic_corpus(n=12, hw=(96, 160), seed=0)
+    cfg = VesselConfig(batch_size=4, epochs=1, z_dim=8,
+                       compute_dtype="bfloat16")
+    model, state, logger = train_vessel(corpus, cfg, img_hw=(96, 160))
+    losses = [r["train_loss"] for r in logger.history if "train_loss" in r]
+    assert losses and np.isfinite(losses).all()
+    # params stay f32 under bf16 compute (flax param_dtype default)
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(state.params))
