@@ -189,3 +189,90 @@ def mip_quality_grid(images, group_labels, path: str, *, per_group: int = 4,
             ax.set_xticks([]), ax.set_yticks([])
         axes[gi, 0].set_ylabel(str(g), fontsize=7)
     _save(fig, path)
+
+
+def predictions_broken_axis(
+    mu_by_group: Dict[str, np.ndarray], path: str, *,
+    feature_name: str = "", break_quantile: float = 0.9,
+):
+    """Per-treatment prediction scatter with a broken y-axis isolating
+    outlier groups (A14, ref vessel_analysis/05_analyze_uncertainty/
+    plot_predictions_by_treatment.py:17-388 'broken-axis scatter')."""
+    names = list(mu_by_group)
+    vals = [np.asarray(mu_by_group[n]).ravel() for n in names]
+    allv = np.concatenate(vals)
+    cut = np.quantile(allv, break_quantile)
+    hi_max = allv.max()
+    broken = hi_max > cut * 1.5 and np.isfinite(cut)
+    nrows = 2 if broken else 1
+    fig, axes = plt.subplots(nrows, 1, sharex=True,
+                             figsize=(max(6, 0.5 * len(names)), 5),
+                             gridspec_kw={"height_ratios": [1, 3]} if broken else None)
+    axes = np.atleast_1d(axes)
+    for ax in axes:
+        for i, v in enumerate(vals):
+            ax.scatter(np.full(len(v), i), v, s=8, alpha=0.6)
+            ax.errorbar([i], [v.mean()], yerr=[v.std()], fmt="_", color="k",
+                        capsize=3)
+    if broken:
+        axes[0].set_ylim(cut, hi_max * 1.05)
+        axes[1].set_ylim(allv.min(), cut)
+        axes[0].spines["bottom"].set_visible(False)
+        axes[1].spines["top"].set_visible(False)
+        axes[0].tick_params(bottom=False)
+    axes[-1].set_xticks(range(len(names)))
+    axes[-1].set_xticklabels(names, rotation=90, fontsize=6)
+    axes[0].set_title(f"Predictions by treatment {feature_name}".strip())
+    _save(fig, path)
+
+
+def per_feature_prediction_grid(
+    mu_by_group: Dict[str, np.ndarray], feature_names: Sequence[str], path: str,
+):
+    """Grid of per-feature mean±std bars across treatments (A14, ref
+    plot_predictions_by_treatment.py per-feature grid)."""
+    names = list(mu_by_group)
+    n_feat = len(feature_names)
+    ncols = min(4, n_feat)
+    nrows = (n_feat + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(3.2 * ncols, 2.2 * nrows), squeeze=False)
+    for f, fname in enumerate(feature_names):
+        ax = axes[f // ncols][f % ncols]
+        means = [np.asarray(mu_by_group[n])[:, f].mean() for n in names]
+        stds = [np.asarray(mu_by_group[n])[:, f].std() for n in names]
+        ax.bar(range(len(names)), means, yerr=stds, capsize=2)
+        ax.set_title(fname, fontsize=7)
+        ax.set_xticks([])
+    for f in range(n_feat, nrows * ncols):
+        axes[f // ncols][f % ncols].axis("off")
+    _save(fig, path)
+
+
+def overlap_distributions(
+    real_by_group: Dict[str, np.ndarray], pred_by_group: Dict[str, np.ndarray],
+    path: str, *, feature_name: str = "",
+):
+    """Real-vs-predicted distribution overlap box+strip plot per treatment in
+    real units (A16, ref plot_overlap_distributions.py:71-264)."""
+    names = list(real_by_group)
+    fig, ax = plt.subplots(figsize=(max(6, 0.6 * len(names)), 4))
+    pos = np.arange(len(names), dtype=float)
+    width = 0.35
+    for i, n in enumerate(names):
+        r = np.asarray(real_by_group[n]).ravel()
+        p = np.asarray(pred_by_group[n]).ravel()
+        ax.boxplot([r], positions=[pos[i] - width / 2], widths=width,
+                   patch_artist=True,
+                   boxprops={"facecolor": "#9ecae1"}, medianprops={"color": "k"})
+        ax.boxplot([p], positions=[pos[i] + width / 2], widths=width,
+                   patch_artist=True,
+                   boxprops={"facecolor": "#fdae6b"}, medianprops={"color": "k"})
+        ax.scatter(np.full(len(r), pos[i] - width / 2), r, s=4, alpha=0.4,
+                   color="#3182bd")
+        ax.scatter(np.full(len(p), pos[i] + width / 2), p, s=4, alpha=0.4,
+                   color="#e6550d")
+    ax.set_xticks(pos)
+    ax.set_xticklabels(names, rotation=90, fontsize=6)
+    ax.set_title(f"Real (blue) vs predicted (orange) {feature_name}".strip())
+    _save(fig, path)

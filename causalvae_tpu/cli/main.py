@@ -257,6 +257,76 @@ def cmd_counterfactual(args):
         print(f"[counterfactual] z-permute {out.shape} -> z_permute.png")
 
 
+def cmd_translate(args):
+    """latent_translator pipeline end-to-end (SURVEY.md §3.5): (pre)train a
+    ViT-VAE, extract mu latents for every image, Ridge-translate Z -> M with
+    LOOCV ranking -> trackA_ranking.csv (the reference's artifact contract)."""
+    import jax.numpy as jnp
+
+    from causalvae_tpu.analysis.translate import fit_translator
+    from causalvae_tpu.data.vessel import iterate_batches
+    from causalvae_tpu.models.vit import ViTVAE
+    from causalvae_tpu.train import workloads as W
+    from causalvae_tpu.utils.metrics import write_csv
+
+    corpus = _vessel_corpus(args)
+    hw = (96, 160) if corpus.raw_images is not None else (384, 640)
+    model = ViTVAE(img_size=hw, latent_dim=64, embed_dim=64, depth=2,
+                   heads=4, mlp_dim=128)
+    model, state, _ = W.train_vit_vae(
+        lambda e: iterate_batches(corpus, "all", args.batch_size or 4, hw,
+                                  shuffle_seed=e, augment=False),
+        hw, epochs=args.epochs or 10, model=model,
+        run_dir=os.path.join(args.out, "train_vit"),
+    )
+    z = W.extract_vit_latents(
+        model, state,
+        iterate_batches(corpus, "all", args.batch_size or 4, hw,
+                        augment=False, drop_remainder=False),
+    )
+    names = [f"feat{i}" for i in range(corpus.m.shape[1])]
+    rep = fit_translator(z, corpus.m[: len(z)], names)
+    os.makedirs(args.out, exist_ok=True)
+    write_csv(
+        os.path.join(args.out, "trackA_ranking.csv"),
+        [{"feature": n, "r2": rep["r2"][n], "corr": rep["corr"][n]}
+         for n in rep["ranking"]],
+    )
+    print(json.dumps({"ranking": rep["ranking"],
+                      "r2": rep["r2"]}, indent=1))
+    print(f"[translate] -> {os.path.join(args.out, 'trackA_ranking.csv')}")
+
+
+def cmd_cascade(args):
+    """causal_cascade pipeline end-to-end: train the compact cascade VAE,
+    then per-condition sensitivity vs control -> sensitivity_ranking.csv
+    (ref causal_cascade/{train,analyze}.py)."""
+    from causalvae_tpu.analysis.mechanism import cascade_sensitivity
+    from causalvae_tpu.data.cascade import scan_cascade_corpus, synthetic_cascade_corpus
+    from causalvae_tpu.train import workloads as W
+    from causalvae_tpu.utils.metrics import write_csv
+
+    corpus = (scan_cascade_corpus(args.csv, [args.data])
+              if args.csv and args.data else synthetic_cascade_corpus())
+    model, state, _ = W.train_cascade(
+        corpus, img_hw=(128, 192), epochs=args.epochs or 10,
+        batch_size=args.batch_size or 4,
+        run_dir=os.path.join(args.out, "train_cascade"),
+    )
+    names = [f"feat{i}" for i in range(corpus.m.shape[1])]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rep = cascade_sensitivity(model, variables, len(corpus.group_names),
+                              control_idx=0, feature_names=names)
+    os.makedirs(args.out, exist_ok=True)
+    write_csv(
+        os.path.join(args.out, "sensitivity_ranking.csv"),
+        [{"feature": n, "importance": rep["importance"][n]}
+         for n in rep["ranking"]],
+    )
+    print(json.dumps({"ranking": rep["ranking"]}, indent=1))
+    print(f"[cascade] -> {os.path.join(args.out, 'sensitivity_ranking.csv')}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("causalvae", description=__doc__)
     p.add_argument("--out", default="results")
@@ -292,6 +362,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--epochs", type=int)
     c.add_argument("--data")
     c.set_defaults(fn=cmd_counterfactual)
+
+    tr = sub.add_parser("translate")
+    tr.add_argument("--epochs", type=int)
+    tr.add_argument("--batch-size", type=int)
+    tr.add_argument("--data"), tr.add_argument("--csv")
+    tr.set_defaults(fn=cmd_translate)
+
+    ca = sub.add_parser("cascade")
+    ca.add_argument("--epochs", type=int)
+    ca.add_argument("--batch-size", type=int)
+    ca.add_argument("--data"), ca.add_argument("--csv")
+    ca.set_defaults(fn=cmd_cascade)
     return p
 
 

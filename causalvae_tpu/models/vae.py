@@ -333,6 +333,10 @@ class CausalBioVAE(nn.Module):
             h, (h.shape[0], *out_hw, h.shape[-1]), method="bilinear"
         )
 
+    def predict_m(self, t):
+        """Mechanism mean from one-hot T (eval-mode BatchNorm stats)."""
+        return self.mechanism(t, train=False)
+
     def __call__(self, x, m, t: jnp.ndarray, *, rng: jax.Array, train: bool = False):
         t_onehot = jax.nn.one_hot(t, self.t_dim, dtype=x.dtype)
         mu, logvar = self.encode(x, m, t_onehot, train)

@@ -233,3 +233,23 @@ def test_plots_smoke(tmp_path, tiny_data):
                            os.path.join(d, "mip.png"), per_group=2)
     for f in ("grid", "sweep", "hm", "bar", "recon", "scatter", "emb", "mip"):
         assert os.path.getsize(os.path.join(d, f"{f}.png")) > 0
+
+
+def test_treatment_plots_smoke(tmp_path):
+    from causalvae_tpu.analysis import plots
+
+    rng = np.random.default_rng(1)
+    groups = {f"g{i}": rng.standard_normal((6, 12)) + i for i in range(5)}
+    groups["outlier"] = rng.standard_normal((6, 12)) + 40.0
+    d = str(tmp_path)
+    plots.predictions_broken_axis(
+        {k: v[:, 0] for k, v in groups.items()},
+        os.path.join(d, "broken.png"), feature_name="Area")
+    plots.per_feature_prediction_grid(groups, NAMES12,
+                                      os.path.join(d, "grid14.png"))
+    plots.overlap_distributions(
+        {k: v[:, 0] for k, v in groups.items()},
+        {k: v[:, 0] + 0.1 for k, v in groups.items()},
+        os.path.join(d, "overlap.png"), feature_name="Area")
+    for f in ("broken", "grid14", "overlap"):
+        assert os.path.getsize(os.path.join(d, f"{f}.png")) > 0

@@ -105,14 +105,43 @@ def test_train_vessel_bf16_compute():
 
     from causalvae_tpu.config import VesselConfig
     from causalvae_tpu.data.vessel import synthetic_corpus
+    from causalvae_tpu.models.vit import CausalViTVAE
     from causalvae_tpu.train.workloads import train_vessel
 
-    corpus = synthetic_corpus(n=12, hw=(96, 160), seed=0)
+    corpus = synthetic_corpus(n=12, hw=(64, 96), seed=0)
     cfg = VesselConfig(batch_size=4, epochs=1, z_dim=8,
                        compute_dtype="bfloat16")
-    model, state, logger = train_vessel(corpus, cfg, img_hw=(96, 160))
+    # small backbone to keep the CPU compile fast; train_vessel builds its
+    # default model with dtype=jnp.dtype(cfg.compute_dtype) the same way
+    model = CausalViTVAE(img_size=(64, 96), m_dim=12, t_dim=corpus.t_dim,
+                         z_dim=8, embed_dim=32, depth=1, heads=2, mlp_dim=64,
+                         vit_latent_dim=32,
+                         dtype=jnp.dtype(cfg.compute_dtype))
+    model, state, logger = train_vessel(corpus, cfg, model=model,
+                                        img_hw=(64, 96))
     losses = [r["train_loss"] for r in logger.history if "train_loss" in r]
     assert losses and np.isfinite(losses).all()
     # params stay f32 under bf16 compute (flax param_dtype default)
     assert all(a.dtype == jnp.float32
                for a in jax.tree.leaves(state.params))
+
+
+def test_cli_translate_pipeline(tmp_path):
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path), "--n-synthetic", "12",
+          "translate", "--epochs", "1", "--batch-size", "4"])
+    path = os.path.join(str(tmp_path), "trackA_ranking.csv")
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+    assert header == ["feature", "r2", "corr"]
+
+
+def test_cli_cascade_pipeline(tmp_path):
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path), "cascade", "--epochs", "1"])
+    path = os.path.join(str(tmp_path), "sensitivity_ranking.csv")
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+    assert header == ["feature", "importance"]
