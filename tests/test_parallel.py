@@ -81,3 +81,36 @@ def test_dp_train_step_matches_single_device():
     # rsqrt amplifies the f32 noise slightly on a handful of elements
     for a, b in zip(jax.tree.leaves(vs1.params), jax.tree.leaves(vs8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_batchnorm_stats_global_under_dp():
+    """SURVEY.md §7 hard part: BatchNorm under data parallelism. Under jit
+    with a sharded batch, GSPMD computes batch stats over the full logical
+    batch, so mutated batch_stats match the single-device run exactly."""
+    from causalvae_tpu.models.vae import CausalVesselVAE
+
+    # 7-stage stride-2 encoder: 128x128 input -> (1, 1) grid
+    model = CausalVesselVAE(m_dim=12, t_dim=19, z_dim=8, grid_hw=(1, 1))
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 128, 128, 1)).astype(np.float32)
+    m = rng.standard_normal((16, 12)).astype(np.float32)
+    t = np.eye(19, dtype=np.float32)[rng.integers(0, 19, 16)]
+    variables = model.init({"params": key}, jnp.asarray(x[:2]),
+                           jnp.asarray(m[:2]), jnp.asarray(t[:2]), rng=key,
+                           train=True)
+
+    @jax.jit
+    def stats(variables, x, m, t):
+        _, mutated = model.apply(variables, x, m, t, rng=key, train=True,
+                                 mutable=["batch_stats"])
+        return mutated["batch_stats"]
+
+    s1 = stats(variables, jnp.asarray(x), jnp.asarray(m), jnp.asarray(t))
+
+    mesh = M.make_mesh()
+    batch = M.shard_batch({"x": x, "m": m, "t": t}, mesh)
+    s8 = stats(M.replicate(variables, mesh), batch["x"], batch["m"], batch["t"])
+
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
