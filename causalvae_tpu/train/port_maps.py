@@ -136,6 +136,81 @@ def causal_vitvae_name_maps(depth: int = 6, heads: int = 8, embed_dim: int = 256
     return P, S
 
 
+def _chw_to_hwc_columns(c: int, h: int, w: int):
+    """Converter for a torch Linear consuming a flattened conv map: torch
+    flattens NCHW (channel-major), flax flattens NHWC — permute the first
+    c*h*w input columns; trailing columns (concatenated m/t) pass through."""
+
+    def conv(wt):  # torch (out, c*h*w + extra)
+        img, rest = wt[:, : c * h * w], wt[:, c * h * w :]
+        img = img.reshape(-1, c, h, w).transpose(0, 2, 3, 1).reshape(-1, c * h * w)
+        return np.concatenate([img, rest], axis=1).T  # flax (in, out)
+
+    return conv
+
+
+def _hwc_from_chw_rows(c: int, h: int, w: int):
+    """Converter for a torch Linear producing a to-be-reshaped conv map
+    (rows are the output dim): permute chw -> hwc row order."""
+
+    def conv_w(wt):  # torch (c*h*w, in)
+        return wt.reshape(c, h, w, -1).transpose(1, 2, 0, 3).reshape(c * h * w, -1).T
+
+    return conv_w
+
+
+def _hwc_from_chw_bias(c: int, h: int, w: int):
+    def conv_b(b):
+        return b.reshape(c, h, w).transpose(1, 2, 0).reshape(-1)
+
+    return conv_b
+
+
+def causal_conv_vae_name_maps(gaussian: bool = False) -> Tuple[Dict, Dict]:
+    """Maps for the MNIST CausalConvVAE against the reference's
+    CausalMorphVAE12 state_dict (C1 ref mnist_test/01 models.py:6-48; C4
+    Bayesian variant ref mnist_test/06 models.py:6-50). Handles the
+    NCHW-flatten vs NHWC-flatten permutation at both conv<->fc boundaries."""
+    P: Dict = {}
+    P["enc_conv1/kernel"] = ("enc_conv.0.weight", torch_conv_to_flax)
+    P["enc_conv1/bias"] = ("enc_conv.0.bias", _ID)
+    P["enc_conv2/kernel"] = ("enc_conv.2.weight", torch_conv_to_flax)
+    P["enc_conv2/bias"] = ("enc_conv.2.bias", _ID)
+    P["enc_fc1/kernel"] = ("enc_fc.0.weight", _chw_to_hwc_columns(64, 7, 7))
+    P["enc_fc1/bias"] = ("enc_fc.0.bias", _ID)
+    P["enc_fc2/kernel"] = ("enc_fc.2.weight", torch_linear_to_flax)
+    P["enc_fc2/bias"] = ("enc_fc.2.bias", _ID)
+    if gaussian:
+        P["morph/shared_0/kernel"] = ("morph_predictor_shared.0.weight", torch_linear_to_flax)
+        P["morph/shared_0/bias"] = ("morph_predictor_shared.0.bias", _ID)
+        for head in ("mu", "logvar"):
+            P[f"morph/{head}/kernel"] = (f"morph_predictor_{head}.weight", torch_linear_to_flax)
+            P[f"morph/{head}/bias"] = (f"morph_predictor_{head}.bias", _ID)
+    else:
+        P["morph/shared_0/kernel"] = ("morph_predictor.0.weight", torch_linear_to_flax)
+        P["morph/shared_0/bias"] = ("morph_predictor.0.bias", _ID)
+        P["morph/out/kernel"] = ("morph_predictor.2.weight", torch_linear_to_flax)
+        P["morph/out/bias"] = ("morph_predictor.2.bias", _ID)
+    P["dec_fc/kernel"] = ("dec_fc.0.weight", _hwc_from_chw_rows(64, 7, 7))
+    P["dec_fc/bias"] = ("dec_fc.0.bias", _hwc_from_chw_bias(64, 7, 7))
+    P["dec_conv1/kernel"] = ("dec_conv.0.weight", torch_convT_to_flax)
+    P["dec_conv1/bias"] = ("dec_conv.0.bias", _ID)
+    P["dec_conv2/kernel"] = ("dec_conv.2.weight", torch_convT_to_flax)
+    P["dec_conv2/bias"] = ("dec_conv.2.bias", _ID)
+    return P, {}
+
+
+def port_mnist_checkpoint(
+    variables: Dict, torch_state: Dict[str, np.ndarray], *, gaussian: bool = False
+) -> Tuple[Dict, list]:
+    """Port a reference CausalMorphVAE12 checkpoint into CausalConvVAE
+    variables (strict=False semantics like smart_load_weights)."""
+    P, _ = causal_conv_vae_name_maps(gaussian)
+    flat = flatten_params(variables["params"])
+    ported, skipped = smart_port(flat, torch_state, P)
+    return {"params": unflatten_params(ported)}, skipped
+
+
 def port_vitvae_checkpoint(
     variables: Dict,
     torch_state: Dict[str, np.ndarray],
