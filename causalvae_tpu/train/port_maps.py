@@ -211,6 +211,70 @@ def port_mnist_checkpoint(
     return {"params": unflatten_params(ported)}, skipped
 
 
+# CausalVesselVAE (C7) torch Sequential indices (live dec_conv definition —
+# the first one at ref models.py:71-105 is dead code, overwritten at :108)
+_VES_ENC_CONV_IDX = (0, 3, 6, 9, 12, 15, 18)
+_VES_ENC_BN_IDX = (1, 4, 7, 10, 13, 16, 19)
+_VES_DEC_CONV_IDX = (1, 5, 9, 13, 17, 21)
+_VES_DEC_BN_IDX = (2, 6, 10, 14, 18, 22)
+_VES_DEC_OUT_IDX = 25
+
+
+def causal_vessel_vae_name_maps(grid_hw: Tuple[int, int] = (6, 10)) -> Tuple[Dict, Dict]:
+    """Maps for the CNN vessel causal VAE against the reference's
+    CausalVesselVAE state_dict (C7, ref vessel_analysis/00_core/
+    models.py:9-166): 7 conv+BN encoder stages, BN'd fc heads, Gaussian
+    morph heads, 7-stage upsample+conv decoder."""
+    gh, gw = grid_hw
+    P: Dict = {}
+    S: Dict = {}
+    for i, (ci, bi) in enumerate(zip(_VES_ENC_CONV_IDX, _VES_ENC_BN_IDX)):
+        P[f"enc_convs_{i}/kernel"] = (f"enc_conv.{ci}.weight", torch_conv_to_flax)
+        P[f"enc_convs_{i}/bias"] = (f"enc_conv.{ci}.bias", _ID)
+        _bn(f"enc_bns_{i}", f"enc_conv.{bi}", P, S)
+    P["enc_fc1/kernel"] = ("enc_fc.0.weight", _chw_to_hwc_columns(512, gh, gw))
+    P["enc_fc1/bias"] = ("enc_fc.0.bias", _ID)
+    _bn("enc_fc_bn", "enc_fc.1", P, S)
+    P["enc_fc2/kernel"] = ("enc_fc.3.weight", torch_linear_to_flax)
+    P["enc_fc2/bias"] = ("enc_fc.3.bias", _ID)
+    for i, ti in enumerate((0, 2)):
+        P[f"morph/shared_{i}/kernel"] = (f"morph_predictor_shared.{ti}.weight", torch_linear_to_flax)
+        P[f"morph/shared_{i}/bias"] = (f"morph_predictor_shared.{ti}.bias", _ID)
+    for head in ("mu", "logvar"):
+        P[f"morph/{head}/kernel"] = (f"morph_predictor_{head}.weight", torch_linear_to_flax)
+        P[f"morph/{head}/bias"] = (f"morph_predictor_{head}.bias", _ID)
+    P["dec_fc1/kernel"] = ("dec_fc.0.weight", torch_linear_to_flax)
+    P["dec_fc1/bias"] = ("dec_fc.0.bias", _ID)
+    _bn("dec_fc_bn", "dec_fc.1", P, S)
+    P["dec_fc2/kernel"] = ("dec_fc.3.weight", _hwc_from_chw_rows(512, gh, gw))
+    P["dec_fc2/bias"] = ("dec_fc.3.bias", _hwc_from_chw_bias(512, gh, gw))
+    for i, (ci, bi) in enumerate(zip(_VES_DEC_CONV_IDX, _VES_DEC_BN_IDX)):
+        P[f"dec_convs_{i}/kernel"] = (f"dec_conv.{ci}.weight", torch_conv_to_flax)
+        P[f"dec_convs_{i}/bias"] = (f"dec_conv.{ci}.bias", _ID)
+        _bn(f"dec_bns_{i}", f"dec_conv.{bi}", P, S)
+    P["dec_out/kernel"] = (f"dec_conv.{_VES_DEC_OUT_IDX}.weight", torch_conv_to_flax)
+    P["dec_out/bias"] = (f"dec_conv.{_VES_DEC_OUT_IDX}.bias", _ID)
+    return P, S
+
+
+def port_vessel_cnn_checkpoint(
+    variables: Dict, torch_state: Dict[str, np.ndarray],
+    grid_hw: Tuple[int, int] = (6, 10),
+) -> Tuple[Dict, list]:
+    """Port a reference CausalVesselVAE checkpoint into CausalVesselVAE
+    variables (params + BatchNorm running stats)."""
+    P, S = causal_vessel_vae_name_maps(grid_hw)
+    flat_p = flatten_params(variables["params"])
+    ported_p, skipped = smart_port(flat_p, torch_state, P)
+    out = {"params": unflatten_params(ported_p)}
+    if "batch_stats" in variables:
+        flat_s = flatten_params(variables["batch_stats"])
+        ported_s, skipped_s = smart_port(flat_s, torch_state, S)
+        out["batch_stats"] = unflatten_params(ported_s)
+        skipped = list(skipped) + list(skipped_s)
+    return out, skipped
+
+
 def port_vitvae_checkpoint(
     variables: Dict,
     torch_state: Dict[str, np.ndarray],
