@@ -211,6 +211,74 @@ def port_mnist_checkpoint(
     return {"params": unflatten_params(ported)}, skipped
 
 
+def conditional_vae_name_maps() -> Tuple[Dict, Dict]:
+    """Maps for the MNIST CVAE against the reference's ConditionalVAE
+    state_dict (C5, ref mnist_test/03 cvae_models.py:7-85): 3-conv encoder to
+    (3, 3, 64), T concatenated at the fc heads, deconv decoder from (7, 7, 64)."""
+    P: Dict = {}
+    for i, ci in enumerate((0, 2, 4)):
+        P[f"enc_conv{i + 1}/kernel"] = (f"enc_conv.{ci}.weight", torch_conv_to_flax)
+        P[f"enc_conv{i + 1}/bias"] = (f"enc_conv.{ci}.bias", _ID)
+    for head in ("mu", "logvar"):
+        P[f"fc_{head}/kernel"] = (f"enc_fc_{head}.weight", _chw_to_hwc_columns(64, 3, 3))
+        P[f"fc_{head}/bias"] = (f"enc_fc_{head}.bias", _ID)
+    P["dec_fc/kernel"] = ("dec_fc.weight", _hwc_from_chw_rows(64, 7, 7))
+    P["dec_fc/bias"] = ("dec_fc.bias", _hwc_from_chw_bias(64, 7, 7))
+    for i, ci in enumerate((0, 2)):
+        P[f"dec_conv{i + 1}/kernel"] = (f"dec_conv.{ci}.weight", torch_convT_to_flax)
+        P[f"dec_conv{i + 1}/bias"] = (f"dec_conv.{ci}.bias", _ID)
+    return P, {}
+
+
+def cascade_vae_name_maps() -> Tuple[Dict, Dict]:
+    """Maps for the cascade VAE against the reference's CausalBioVAE
+    state_dict (C10, ref causal_cascade/models.py:5-89): 4-conv encoder +
+    adaptive 4x4 pool, two-fc trunk, BatchNorm'd mechanism_net, deconv
+    decoder from (4, 4, 256)."""
+    P: Dict = {}
+    S: Dict = {}
+    for i, ci in enumerate((0, 2, 4, 6)):
+        P[f"enc_convs_{i}/kernel"] = (f"enc_conv.{ci}.weight", torch_conv_to_flax)
+        P[f"enc_convs_{i}/bias"] = (f"enc_conv.{ci}.bias", _ID)
+    P["enc_fc1/kernel"] = ("enc_fc.0.weight", _chw_to_hwc_columns(256, 4, 4))
+    P["enc_fc1/bias"] = ("enc_fc.0.bias", _ID)
+    P["enc_fc2/kernel"] = ("enc_fc.2.weight", torch_linear_to_flax)
+    P["enc_fc2/bias"] = ("enc_fc.2.bias", _ID)
+    for head in ("mu", "logvar"):
+        P[f"fc_{head}/kernel"] = (f"fc_{head}.weight", torch_linear_to_flax)
+        P[f"fc_{head}/bias"] = (f"fc_{head}.bias", _ID)
+    P["mechanism/shared_0/kernel"] = ("mechanism_net.0.weight", torch_linear_to_flax)
+    P["mechanism/shared_0/bias"] = ("mechanism_net.0.bias", _ID)
+    _bn("mechanism/shared_bn_0", "mechanism_net.1", P, S)
+    P["mechanism/shared_1/kernel"] = ("mechanism_net.3.weight", torch_linear_to_flax)
+    P["mechanism/shared_1/bias"] = ("mechanism_net.3.bias", _ID)
+    P["mechanism/out/kernel"] = ("mechanism_net.5.weight", torch_linear_to_flax)
+    P["mechanism/out/bias"] = ("mechanism_net.5.bias", _ID)
+    P["dec_input/kernel"] = ("dec_input.weight", _hwc_from_chw_rows(256, 4, 4))
+    P["dec_input/bias"] = ("dec_input.bias", _hwc_from_chw_bias(256, 4, 4))
+    for i, ci in enumerate((0, 2, 4)):
+        P[f"dec_convs_{i}/kernel"] = (f"dec_conv.{ci}.weight", torch_convT_to_flax)
+        P[f"dec_convs_{i}/bias"] = (f"dec_conv.{ci}.bias", _ID)
+    P["dec_out/kernel"] = ("dec_conv.6.weight", torch_convT_to_flax)
+    P["dec_out/bias"] = ("dec_conv.6.bias", _ID)
+    return P, S
+
+
+def port_simple_checkpoint(
+    variables: Dict, torch_state: Dict[str, np.ndarray], maps: Tuple[Dict, Dict]
+) -> Tuple[Dict, list]:
+    """Port with precomputed (params_map, stats_map) — CVAE/cascade entry."""
+    flat_p = flatten_params(variables["params"])
+    ported_p, skipped = smart_port(flat_p, torch_state, maps[0])
+    out = {"params": unflatten_params(ported_p)}
+    if "batch_stats" in variables:
+        flat_s = flatten_params(variables["batch_stats"])
+        ported_s, skipped_s = smart_port(flat_s, torch_state, maps[1])
+        out["batch_stats"] = unflatten_params(ported_s)
+        skipped = list(skipped) + list(skipped_s)
+    return out, skipped
+
+
 # CausalVesselVAE (C7) torch Sequential indices (live dec_conv definition —
 # the first one at ref models.py:71-105 is dead code, overwritten at :108)
 _VES_ENC_CONV_IDX = (0, 3, 6, 9, 12, 15, 18)
