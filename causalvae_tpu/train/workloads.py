@@ -44,9 +44,14 @@ def train_mnist(
     run_dir: Optional[str] = None,
     epochs: Optional[int] = None,
     resume: bool = False,
+    scan_steps: int = 0,
 ) -> Tuple[CausalConvVAE, TrainState, TrainState, MetricLogger]:
     """Adversarial MNIST causal-VAE training (T1, ref mnist_test/01
-    train.py:11-103; Bayesian variant ref mnist_test/06 train.py)."""
+    train.py:11-103; Bayesian variant ref mnist_test/06 train.py).
+
+    scan_steps > 0 runs the epoch through the scanned device-resident loop
+    (scan_steps optimizer steps per XLA dispatch — see train/scan_loop.py);
+    0 keeps one dispatch per batch."""
     epochs = epochs or cfg.epochs
     vae = CausalConvVAE(
         m_dim=cfg.m_dim, t_dim=cfg.t_dim, z_dim=cfg.z_dim,
@@ -62,7 +67,13 @@ def train_mnist(
     d_vars = disc.init(key, jnp.zeros((2, cfg.z_dim)))
     vae_state = TrainState.create(vae_vars, optax.adam(cfg.lr))
     d_state = TrainState.create(d_vars, optax.adam(cfg.lr))
-    step = jax.jit(make_mnist_adversarial_step(vae, disc, cfg, bayesian=bayesian))
+    raw_step = make_mnist_adversarial_step(vae, disc, cfg, bayesian=bayesian)
+    step = jax.jit(raw_step)
+    trainer = None
+    if scan_steps > 0:
+        from causalvae_tpu.train.scan_loop import ScanTrainer
+
+        trainer = ScanTrainer(raw_step, n_states=2, steps_per_dispatch=scan_steps)
 
     book = CheckpointBook(run_dir, period=50) if run_dir else None
     start_epoch = 0
@@ -74,10 +85,17 @@ def train_mnist(
     rng = np.random.default_rng(cfg.seed)
     for epoch in range(start_epoch, epochs):
         metrics = None
-        for batch in dataset.batches(cfg.batch_size, rng):
+        if trainer is not None:
             key, sub = jax.random.split(key)
-            vae_state, d_state, metrics = step(vae_state, d_state, _to_device(batch), sub)
-            timer.tick(cfg.batch_size)
+            n_batches = len(dataset) // cfg.batch_size
+            (vae_state, d_state), metrics = trainer.run_epoch(
+                (vae_state, d_state), dataset.batches(cfg.batch_size, rng), sub)
+            timer.tick(cfg.batch_size * max(n_batches, 1))
+        else:
+            for batch in dataset.batches(cfg.batch_size, rng):
+                key, sub = jax.random.split(key)
+                vae_state, d_state, metrics = step(vae_state, d_state, _to_device(batch), sub)
+                timer.tick(cfg.batch_size)
         logger.log(epoch, metrics)
         logger.print_epoch(epoch, metrics)
         if book:

@@ -85,3 +85,17 @@ def test_scan_trainer_consumes_iterator(setup):
 def test_chunked():
     assert list(chunked(iter(range(7)), 3)) == [[0, 1, 2], [3, 4, 5], [6]]
     assert list(chunked(iter([]), 3)) == []
+
+
+def test_train_mnist_scan_steps():
+    """train_mnist(scan_steps=N) drives the scanned loop end-to-end."""
+    from causalvae_tpu.config import MnistConfig
+    from causalvae_tpu.data.mnist import build_morph_mnist, synthetic_mnist
+    from causalvae_tpu.train.workloads import train_mnist
+
+    images, labels = synthetic_mnist(48, seed=3)
+    ds = build_morph_mnist(images, labels)
+    cfg = MnistConfig(batch_size=16, epochs=2, z_dim=6)
+    vae, vae_state, d_state, logger = train_mnist(ds, cfg, scan_steps=2)
+    losses = [r["loss"] for r in logger.history if "loss" in r]
+    assert len(losses) == 2 and np.isfinite(losses).all()
