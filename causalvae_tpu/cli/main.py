@@ -87,8 +87,8 @@ def cmd_train(args):
     print(f"[train] artifacts in {run_dir}")
 
 
-def cmd_kfold(args):
-    import jax
+def _kfold_train(args, corpus, n_folds: int):
+    """Shared parallel-fold training used by kfold and vessel-report."""
     import jax.numpy as jnp
     import optax
 
@@ -99,14 +99,8 @@ def cmd_kfold(args):
     from causalvae_tpu.train import kfold as KF
     from causalvae_tpu.train.loop import make_vae_eval_step, make_vae_step
 
-    corpus = _vessel_corpus(args)
     cfg = VesselConfig()
     hw = (96, 160) if corpus.raw_images is not None else (cfg.img_height, cfg.img_width)
-
-    plan = KF.stratified_kfold(corpus.t_idx, args.folds, seed=42)
-    if args.verify:
-        print(json.dumps(KF.verify_stratification(plan, corpus.group_names), indent=1))
-        return
 
     # device-resident preprocessed corpus (no augmentation inside k-fold - the
     # reference's k-fold trainer also trains on mode='all' unaugmented data)
@@ -137,11 +131,97 @@ def cmd_kfold(args):
     states, plan, history = KF.train_kfold(
         init_one=init_one, step_fn=step, eval_fn=eval_step, tx=tx,
         data=data, labels=corpus.t_idx, epochs=args.epochs or 5,
-        batch_size=args.batch_size or 4, n_folds=args.folds,
+        batch_size=args.batch_size or 4, n_folds=n_folds,
         checkpoint_dir=os.path.join(args.out, "kfold"), log_every=1,
     )
+    return model, states, plan, data, history
+
+
+def cmd_kfold(args):
+    from causalvae_tpu.train import kfold as KF
+
+    corpus = _vessel_corpus(args)
+    if args.verify:
+        plan = KF.stratified_kfold(corpus.t_idx, args.folds, seed=42)
+        print(json.dumps(KF.verify_stratification(plan, corpus.group_names), indent=1))
+        return
+    model, states, plan, data, history = _kfold_train(args, corpus, args.folds)
     print(f"[kfold] {args.folds} folds trained in parallel; "
           f"final val losses: {history[-1]['val']['loss'] if history[-1]['val'] else 'n/a'}")
+
+
+def cmd_vessel_report(args):
+    """The vessel uncertainty -> SNR artifact chain (SURVEY.md §3.4): k-fold
+    ensemble training, then every CSV contract of the reference's chained
+    scripts — predictions_by_treatment, uncertainty_by_treatment,
+    feature_stats, pairwise_snr, all_pairwise_report (+ formatted top-k),
+    significant_changes."""
+    import jax
+
+    from causalvae_tpu.analysis.kfold_eval import (ensemble_pairwise_report,
+                                                   top_k_per_pair)
+    from causalvae_tpu.analysis.vessel_report import (
+        predictions_by_treatment, uncertainty_by_treatment_rows)
+    from causalvae_tpu.scm.uncertainty import (ensemble_sigma_by_treatment,
+                                               pairwise_snr,
+                                               significant_changes)
+    from causalvae_tpu.utils.metrics import write_csv
+
+    corpus = _vessel_corpus(args)
+    model, states, plan, data, _ = _kfold_train(args, corpus, args.folds)
+    stacked = {"params": states.params}
+    if states.batch_stats is not None:
+        stacked["batch_stats"] = states.batch_stats
+    names = [f"feat{i}" for i in range(corpus.m.shape[1])]
+    groups = list(corpus.group_names)
+    os.makedirs(args.out, exist_ok=True)
+
+    # stage 1: per-treatment predictions (fold-0 model, like the reference)
+    fold0 = jax.tree.map(lambda a: a[0], stacked)
+    pred = predictions_by_treatment(
+        model, fold0, data["x"], data["m"], data["t"], corpus.t_idx,
+        groups, names)
+    write_csv(os.path.join(args.out, "predictions_by_treatment.csv"), pred["rows"])
+
+    # stage 2: ensemble aleatoric sigma per treatment
+    write_csv(os.path.join(args.out, "uncertainty_by_treatment.csv"),
+              uncertainty_by_treatment_rows(model, stacked, groups, names))
+
+    # stage 3: stats + SNR in real units via the corpus scaler
+    mu, sigma = ensemble_sigma_by_treatment(model, stacked, corpus.t_dim)
+    mu, sigma = np.asarray(mu), np.asarray(sigma)
+    mu_real = mu * corpus.scaler_scale + corpus.scaler_mean
+    write_csv(
+        os.path.join(args.out, "feature_stats.csv"),
+        [{"treatment": groups[g], "feature": names[f],
+          "mean_real": float(mu_real[g, f]),
+          "sigma_real": float(sigma[g, f] * corpus.scaler_scale[f])}
+         for g in range(len(groups)) for f in range(len(names))],
+    )
+    snr = np.asarray(pairwise_snr(mu, sigma, scale=corpus.scaler_scale))
+    write_csv(
+        os.path.join(args.out, "pairwise_snr.csv"),
+        [{"treatment_a": groups[i], "treatment_b": groups[j],
+          "feature": names[f], "snr": float(snr[i, j, f])}
+         for i in range(len(groups)) for j in range(len(groups)) if i != j
+         for f in range(len(names))],
+    )
+
+    # stage 4: ensemble pairwise M-hat differences + formatted top-k
+    rows = ensemble_pairwise_report(model, stacked, corpus.t_dim, groups, names)
+    write_csv(os.path.join(args.out, "all_pairwise_report.csv"), rows)
+    top = top_k_per_pair(rows, k=3)
+    write_csv(
+        os.path.join(args.out, "pairwise_report_formatted.csv"),
+        [{"treatment_a": a, "treatment_b": b, "rank": r + 1, **{
+            "feature": row["feature"], "diff": row["diff"]}}
+         for (a, b), rs in top.items() for r, row in enumerate(rs)],
+    )
+
+    # stage 5: top significant changes
+    write_csv(os.path.join(args.out, "significant_changes.csv"),
+              significant_changes(snr, mu_real, groups, names, top_k=10))
+    print(f"[vessel-report] 6 CSV artifacts in {args.out}")
 
 
 def cmd_analyze(args):
@@ -374,6 +454,13 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--batch-size", type=int)
     ca.add_argument("--data"), ca.add_argument("--csv")
     ca.set_defaults(fn=cmd_cascade)
+
+    vr = sub.add_parser("vessel-report")
+    vr.add_argument("--epochs", type=int)
+    vr.add_argument("--folds", type=int, default=5)
+    vr.add_argument("--batch-size", type=int)
+    vr.add_argument("--data"), vr.add_argument("--csv")
+    vr.set_defaults(fn=cmd_vessel_report)
     return p
 
 

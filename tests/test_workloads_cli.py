@@ -145,3 +145,18 @@ def test_cli_cascade_pipeline(tmp_path):
     with open(path) as f:
         header = f.readline().strip().split(",")
     assert header == ["feature", "importance"]
+
+
+def test_cli_vessel_report_pipeline(tmp_path):
+    """The §3.4 artifact chain: all six CSV contracts produced."""
+    from causalvae_tpu.cli.main import main
+
+    # batch must divide across the mesh data axis (8 devices / 2 folds -> 4)
+    main(["--out", str(tmp_path), "--n-synthetic", "16",
+          "vessel-report", "--epochs", "1", "--folds", "2",
+          "--batch-size", "4"])
+    for f in ("predictions_by_treatment", "uncertainty_by_treatment",
+              "feature_stats", "pairwise_snr", "all_pairwise_report",
+              "pairwise_report_formatted", "significant_changes"):
+        path = os.path.join(str(tmp_path), f"{f}.csv")
+        assert os.path.getsize(path) > 0, f
