@@ -234,7 +234,8 @@ def cmd_analyze(args):
 
     ds = _mnist_dataset(args)
     cfg = MnistConfig(epochs=args.epochs or 3)
-    vae, vae_state, d_state, _ = W.train_mnist(ds, cfg, run_dir=None)
+    vae, vae_state, d_state, _ = W.train_mnist(
+        ds, cfg, bayesian=getattr(args, "bayesian", False), run_dir=None)
     variables = {"params": vae_state.params}
     names = list(FEATURE_NAMES_12)
     out = {}
@@ -434,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
                                     "independence", "uncertainty", "causal", "all"])
     a.add_argument("--epochs", type=int)
     a.add_argument("--pair", type=int, nargs=2, default=(1, 8))
+    a.add_argument("--bayesian", action="store_true",
+                   help="train the Gaussian-mechanism variant (enables the "
+                        "uncertainty table)")
     a.add_argument("--data")
     a.set_defaults(fn=cmd_analyze)
 
