@@ -19,12 +19,89 @@ import time
 import numpy as np
 
 
+def vessel_evidence(args):
+    """Vessel-stack convergence on the TPU: train a mid-size CausalViTVAE on
+    a synthetic MIP corpus, then the decoder-uses-M diagnostic (I5), a do(M)
+    sweep artifact (I2) and MC-decode uncertainty (ref north-star MC sampling)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from causalvae_tpu.analysis import plots
+    from causalvae_tpu.analysis.vessel_report import m_influence_check
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.data.vessel import synthetic_corpus
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.scm.intervene import abduct, do_m_sweep
+    from causalvae_tpu.scm.uncertainty import mc_decode_stats
+    from causalvae_tpu.train.workloads import train_vessel
+
+    t0 = time.time()
+
+    def log(s):
+        print(f"[{time.time() - t0:6.1f}s] [vessel] {s}", flush=True)
+
+    hw = (192, 320)  # /32 stem -> 6x10 token grid (same aspect as 768x1280)
+    corpus = synthetic_corpus(n=48, hw=hw, seed=0)
+    cfg = VesselConfig(batch_size=8, epochs=args.vessel_epochs, z_dim=32)
+    model = CausalViTVAE(img_size=hw, m_dim=corpus.m.shape[1],
+                         t_dim=corpus.t_dim, z_dim=32, embed_dim=128,
+                         depth=4, heads=8, mlp_dim=256, vit_latent_dim=128)
+    log(f"training CausalViTVAE {hw} on {jax.devices()}")
+    model, state, logger = train_vessel(corpus, cfg, model=model, img_hw=hw)
+    losses = [r["train_loss"] for r in logger.history if "train_loss" in r]
+    log(f"loss {losses[0]:.0f} -> {losses[-1]:.0f} over {len(losses)} epochs")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    from causalvae_tpu.data.vessel import iterate_batches
+
+    b = next(iterate_batches(corpus, "val", 4, hw, augment=False,
+                             drop_remainder=False))
+    x, m, t = jnp.asarray(b["x"]), jnp.asarray(b["m"]), jnp.asarray(b["t"])
+
+    infl = m_influence_check(model, variables, x, m, t)
+    log(f"I5 m-influence: {json.dumps({k: v for k, v in infl.items()})}")
+
+    sweep = jnp.linspace(-5.0, 5.0, 3)
+    out = do_m_sweep(model, variables, x[:1], m[:1], t[:1],
+                     jnp.arange(2), sweep)
+    plots.sweep_strip(np.asarray(out[0, 0]), np.asarray(sweep),
+                      os.path.join(args.out, "vessel_do_m_sweep.png"),
+                      feature_name="feat0")
+
+    mu, logvar = model.apply(variables, x, m, t, method=model.encode)
+    mean, std = mc_decode_stats(model, variables, m, mu, logvar,
+                                jax.random.PRNGKey(0), n_mc=8)
+    plots.recon_triptych(np.asarray(x), np.asarray(mean),
+                         os.path.join(args.out, "vessel_mc_recon.png"),
+                         uncertainty=np.asarray(std))
+    log("artifacts: vessel_do_m_sweep.png, vessel_mc_recon.png")
+    return {
+        "vessel_first_loss": float(losses[0]),
+        "vessel_final_loss": float(losses[-1]),
+        "vessel_m_influence_verdict": infl["verdict"],
+        "vessel_m_pixel_diff": infl["mean_pixel_diff"],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--vessel", action="store_true")
+    ap.add_argument("--vessel-only", action="store_true")
+    ap.add_argument("--vessel-epochs", type=int, default=30)
     ap.add_argument("--out", default="results/evidence")
     args = ap.parse_args()
+
+    if args.vessel_only:
+        os.makedirs(args.out, exist_ok=True)
+        report = vessel_evidence(args)
+        with open(os.path.join(args.out, "evidence_vessel.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report, indent=1), flush=True)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -132,6 +209,9 @@ def main():
         "z_disentanglement_acc": dscore,
         "phase1_top_features": p1["ranking"][:5],
     }
+    if args.vessel:
+        report.update(vessel_evidence(args))
+
     with open(os.path.join(args.out, "evidence.json"), "w") as f:
         json.dump(report, f, indent=1)
     log(json.dumps(report, indent=1))
