@@ -170,3 +170,13 @@ def mediation_contributions(
         "z_contribution_pct": 100.0 * z_contrib / safe,
         "feature_contribution_pct": 100.0 * per_feature / safe[:, None],
     }
+
+
+def diff_map(model, variables, x: Array, m: Array, t: Array,
+             *, shift: float = 5.0, rng: Optional[jax.Array] = None) -> Array:
+    """|decode(M+shift, z) - decode(M, z)| per pixel (I6, ref
+    vessel_analysis/04_generate_counterfactual/visualize_diff.py:15-84)."""
+    z = abduct(model, variables, x, m, t, rng)
+    base = decode(model, variables, m, z)
+    shifted = decode(model, variables, m + shift, z)
+    return jnp.abs(shifted - base)

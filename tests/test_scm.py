@@ -126,3 +126,14 @@ def test_mc_decode_stats(model_and_vars):
     mean, std = U.mc_decode_stats(model, variables, m, mu, logvar, KEY, n_mc=8)
     assert mean.shape == (2, 28, 28, 1)
     assert float(std.mean()) > 0.0
+
+
+def test_diff_map(model_and_vars):
+    from causalvae_tpu.scm.intervene import diff_map
+
+    model, variables, x = model_and_vars
+    m = jnp.zeros((4, 12))
+    t = jnp.eye(10)[:4].astype(jnp.float32)
+    d = diff_map(model, variables, jnp.asarray(x), m, t, shift=5.0)
+    assert d.shape == x.shape
+    assert float(d.min()) >= 0.0
