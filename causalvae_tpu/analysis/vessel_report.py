@@ -161,11 +161,13 @@ def m_influence_check(
     shifted = decode(model, variables, m + shift, z)
     diff = float(jnp.abs(shifted - base).mean())
 
-    # first decoder layer weight mass: columns [0:m_dim] vs [m_dim:]
+    # first decoder layer weight mass: columns [0:m_dim] vs [m_dim:].
+    # Only layers whose input is concat([m, z]) with M FIRST qualify
+    # (CausalBioVAE's dec_input consumes concat([z, m_hat]) and its decode
+    # signature differs — this I5 diagnostic targets the vessel/MNIST models).
     flat = variables["params"]
-    # find the first dense kernel consumed by decode (model-specific name)
     w = None
-    for name in ("dec_fc", "dec_fc1", "dec_adapter_fc1", "dec_input"):
+    for name in ("dec_fc", "dec_fc1", "dec_adapter_fc1"):
         if name in flat:
             w = np.asarray(flat[name]["kernel"])
             break

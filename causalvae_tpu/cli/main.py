@@ -104,8 +104,14 @@ def _kfold_train(args, corpus, n_folds: int):
 
     # device-resident preprocessed corpus (no augmentation inside k-fold - the
     # reference's k-fold trainer also trains on mode='all' unaugmented data)
+    if corpus.raw_images is not None:
+        raw = corpus.raw_images
+    else:  # file-backed corpus: decode from disk once
+        from causalvae_tpu.data.vessel import load_raw
+
+        raw = np.stack([load_raw(p) for p in corpus.paths])
     pre = make_preprocess(hw)
-    x = np.asarray(pre(jnp.asarray(corpus.raw_images), jnp.zeros(len(corpus.t_idx), np.int32)))
+    x = np.asarray(pre(jnp.asarray(raw), jnp.zeros(len(corpus.t_idx), np.int32)))
     data = {"x": x, "m": corpus.m, "t": corpus.one_hot_t(np.arange(len(corpus.t_idx)))}
 
     model = CausalViTVAE(img_size=hw, m_dim=corpus.m.shape[1],
@@ -360,13 +366,20 @@ def cmd_translate(args):
         hw, epochs=args.epochs or 10, model=model,
         run_dir=os.path.join(args.out, "train_vit"),
     )
-    z = W.extract_vit_latents(
-        model, state,
-        iterate_batches(corpus, "all", args.batch_size or 4, hw,
-                        augment=False, drop_remainder=False),
-    )
+    # collect M from the same batches as the latents so the Z<->M pairing is
+    # correct regardless of loader batch order
+    ms = []
+
+    def batches():
+        for b in iterate_batches(corpus, "all", args.batch_size or 4, hw,
+                                 augment=False, drop_remainder=False):
+            ms.append(np.asarray(b["m"]))
+            yield b
+
+    z = W.extract_vit_latents(model, state, batches())
+    m = np.concatenate(ms)
     names = [f"feat{i}" for i in range(corpus.m.shape[1])]
-    rep = fit_translator(z, corpus.m[: len(z)], names)
+    rep = fit_translator(z, m, names)
     os.makedirs(args.out, exist_ok=True)
     write_csv(
         os.path.join(args.out, "trackA_ranking.csv"),

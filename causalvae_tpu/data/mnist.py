@@ -16,6 +16,7 @@ digit-dependent morphology so mechanism-analysis behavior is preserved.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import os
 import struct
 from dataclasses import dataclass
@@ -124,10 +125,15 @@ def build_morph_mnist(
     (ref dataset.py:101-132 cache semantics, minus the per-item host loop)."""
     if limit_count is not None:
         images, labels = images[:limit_count], labels[:limit_count]
+    # content digest ties the cache to THIS corpus, not just its size —
+    # swapping --data between equal-sized datasets must not reuse stale M
+    digest = hashlib.sha1(np.ascontiguousarray(images[:: max(1, len(images) // 64)])
+                          .tobytes()).hexdigest()
     m = None
     if cache_path and os.path.exists(cache_path):
-        blob = np.load(cache_path)
-        if blob["m"].shape == (len(images), n_features):
+        blob = np.load(cache_path, allow_pickle=False)
+        if (blob["m"].shape == (len(images), n_features)
+                and "digest" in blob and str(blob["digest"]) == digest):
             m = blob["m"]
     if m is None:
         if use_device_extractor:
@@ -149,7 +155,7 @@ def build_morph_mnist(
             m = morphology_host.extract_features_batch(images, n_features)
         if cache_path:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-            np.savez(cache_path, m=m)
+            np.savez(cache_path, m=m, digest=digest)
     t = np.eye(t_dim, dtype=np.float32)[labels]
     return MorphDataset(
         x=images[..., None].astype(np.float32), m=m.astype(np.float32),

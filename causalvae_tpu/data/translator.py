@@ -58,10 +58,15 @@ def load_stack(path: str) -> np.ndarray:
         return np.zeros((100, 100), np.float32)
 
 
-def make_preprocess(resize_hw: Tuple[int, int], clip_percentile: float = 99.5):
-    """jitted (B, h, w) -> (B, H, W, 1): percentile clip -> [0,1] -> resize.
+def make_preprocess(resize_hw: Tuple[int, int], clip_percentile: float = 99.5,
+                    batched: bool = True):
+    """jitted (B, h, w) -> (B, H, W, 1) (or (h, w) -> (H, W, 1) with
+    batched=False): percentile clip -> [0,1] -> resize.
 
-    MIP happens before this (stacks have ragged depth; `mip` handles it)."""
+    MIP happens before this (stacks have ragged depth; `mip` handles it).
+    The single-image form serves ragged corpora — each image is normalized
+    and resized at its own shape (ref latent_translator/utils.py per-image
+    semantics), one compile per distinct raw shape."""
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +83,7 @@ def make_preprocess(resize_hw: Tuple[int, int], clip_percentile: float = 99.5):
         img = jax.image.resize(img, (H, W), method="bilinear")
         return img[..., None]
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(jax.vmap(one) if batched else one)
 
 
 def mip(stack: np.ndarray) -> np.ndarray:
@@ -98,6 +103,7 @@ def iterate_images(
     import jax.numpy as jnp
 
     pre = make_preprocess(resize_hw, clip_percentile)
+    pre1 = make_preprocess(resize_hw, clip_percentile, batched=False)
     ids = df["Image ID"].astype(str).tolist()
     for s in range(0, len(ids), batch_size):
         chunk = ids[s : s + batch_size]
@@ -105,9 +111,11 @@ def iterate_images(
             raws = [raw_images[i] for i in range(s, s + len(chunk))]
         else:
             raws = [mip(load_stack(path_map[i])) for i in chunk]
-        hmax = max(r.shape[0] for r in raws)
-        wmax = max(r.shape[1] for r in raws)
-        stacked = np.zeros((len(raws), hmax, wmax), np.float32)
-        for j, r in enumerate(raws):
-            stacked[j, : r.shape[0], : r.shape[1]] = r
-        yield {"x": pre(jnp.asarray(stacked)), "id": chunk}
+        shapes = {r.shape for r in raws}
+        if len(shapes) == 1:  # uniform batch: one vmapped transform
+            x = pre(jnp.asarray(np.stack(raws)))
+        else:  # ragged: normalize+resize each image at its own shape —
+            # zero-padding to a common canvas would skew the percentile
+            # normalization and bake in borders/scale distortion
+            x = jnp.stack([pre1(jnp.asarray(r)) for r in raws])
+        yield {"x": x, "id": chunk}

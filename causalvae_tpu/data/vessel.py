@@ -284,12 +284,27 @@ def iterate_batches(
         else:
             use_native = False
 
+    def host_batch(chunk, pre):
+        samples, augs = chunk[:, 0], chunk[:, 1]
+        if corpus.raw_images is not None:
+            raw = corpus.raw_images[samples]
+        else:
+            raw = np.stack([load_raw(corpus.paths[j]) for j in samples])
+        return {
+            "x": pre(jnp.asarray(raw), jnp.asarray(augs)),
+            "m": corpus.m[samples],
+            "t": corpus.one_hot_t(samples),
+            "labels": corpus.t_idx[samples],
+        }
+
     if file_backed and use_native:
         from causalvae_tpu import native
 
+        tail = len(pairs) % batch_size
+        main = pairs[: len(pairs) - tail] if tail else pairs
         loader = native.NativeBatchLoader(
-            corpus.paths, pairs[:, 0], img_hw, batch_size,
-            augs=pairs[:, 1], binarize=True,
+            corpus.paths, main[:, 0], img_hw, batch_size,
+            augs=main[:, 1], binarize=True,
         )
         try:
             for x, samples in loader:
@@ -301,21 +316,13 @@ def iterate_batches(
                 }
         finally:
             loader.close()
+        # the C++ loader has DataLoader drop-tail semantics; honor
+        # drop_remainder=False by finishing the tail on the host path
+        if tail and not drop_remainder:
+            yield host_batch(pairs[len(pairs) - tail :], make_preprocess(img_hw))
         return
 
     pre = make_preprocess(img_hw)
     stop = len(pairs) - (len(pairs) % batch_size) if drop_remainder else len(pairs)
     for s in range(0, stop, batch_size):
-        chunk = pairs[s : s + batch_size]
-        samples, augs = chunk[:, 0], chunk[:, 1]
-        if corpus.raw_images is not None:
-            raw = corpus.raw_images[samples]
-        else:
-            raw = np.stack([load_raw(corpus.paths[j]) for j in samples])
-        x = pre(jnp.asarray(raw), jnp.asarray(augs))
-        yield {
-            "x": x,
-            "m": corpus.m[samples],
-            "t": corpus.one_hot_t(samples),
-            "labels": corpus.t_idx[samples],
-        }
+        yield host_batch(pairs[s : s + batch_size], pre)

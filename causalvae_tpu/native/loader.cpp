@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <map>
 #include <queue>
 #include <string>
 #include <thread>
@@ -302,8 +303,9 @@ struct Loader {
   std::vector<int32_t> order;    // (epoch-sized) index+augmode pairs flattened
   std::vector<int32_t> augs;
   std::atomic<size_t> cursor{0};
-  size_t consumed = 0;  // guarded by mu
-  std::queue<Batch> ready;
+  size_t consumed = 0;   // guarded by mu
+  size_t next_emit = 0;  // guarded by mu; batches delivered in submission order
+  std::map<size_t, Batch> ready;  // keyed by batch sequence number
   size_t max_queue;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
@@ -314,6 +316,7 @@ struct Loader {
     for (;;) {
       size_t start = cursor.fetch_add(batch);
       if (stop.load() || start + batch > order.size()) return;
+      size_t seq = start / batch;
       Batch out;
       out.data.resize(static_cast<size_t>(batch) * H * W);
       out.idx.resize(batch);
@@ -326,10 +329,15 @@ struct Loader {
                        binarize != 0, aug);
       }
       std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
+      // The batch the consumer is blocked on may always enter, even when the
+      // buffer is nominally full — otherwise a full buffer of later batches
+      // deadlocks against the in-order consumer.
+      cv_space.wait(lk, [&] {
+        return ready.size() < max_queue || seq == next_emit || stop.load();
+      });
       if (stop.load()) return;
-      ready.push(std::move(out));
-      cv_ready.notify_one();
+      ready.emplace(seq, std::move(out));
+      cv_ready.notify_all();
     }
   }
 };
@@ -355,16 +363,20 @@ void* cvae_loader_create(const char** paths, int n_paths, const int32_t* order,
 
 // Returns 1 and fills data (batch*H*W floats) + idx (batch int32), or 0 when
 // the epoch is exhausted (remainder tail dropped, DataLoader semantics).
+// Batches are delivered in submission order regardless of which worker
+// finishes first, so positional consumers stay aligned with the corpus.
 int cvae_loader_next(void* handle, float* data, int32_t* idx) {
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
   const size_t total_batches = L->order.size() / L->batch;
   if (L->consumed >= total_batches) return 0;
-  L->cv_ready.wait(lk, [&] { return !L->ready.empty(); });
-  Batch b = std::move(L->ready.front());
-  L->ready.pop();
+  L->cv_ready.wait(lk, [&] { return L->ready.count(L->next_emit) != 0; });
+  auto it = L->ready.find(L->next_emit);
+  Batch b = std::move(it->second);
+  L->ready.erase(it);
+  L->next_emit++;
   L->consumed++;
-  L->cv_space.notify_one();
+  L->cv_space.notify_all();
   lk.unlock();
   std::memcpy(data, b.data.data(), b.data.size() * sizeof(float));
   std::memcpy(idx, b.idx.data(), b.idx.size() * sizeof(int32_t));

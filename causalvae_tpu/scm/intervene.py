@@ -73,11 +73,18 @@ def do_t_grid(
 
 
 def intervention_matrix(
-    model, variables, x: Array, m: Array, t: Array, t_targets: Array
+    model, variables, m: Array, t_targets: Array
 ) -> Array:
-    """Predicted morphology per (source, target): the 10x10 CSV of
-    Orig/Pred/Diff (ref visualize.py:12-51). Returns (n_targets, m_dim)."""
-    return predict_m(model, variables, t_targets)
+    """The per-(source, target) Orig/Pred/Diff morphology table of the 10x10
+    intervention CSV (ref visualize.py:12-51): orig = the source's measured
+    M, pred = the mechanism's M'(t_target), diff = pred - orig.
+
+    m: (S, F) source morphology; t_targets: (T, t_dim).
+    Returns (S, T, 3, F) stacked [orig, pred, diff]."""
+    pred = predict_m(model, variables, t_targets)  # (T, F)
+    orig = jnp.broadcast_to(m[:, None, :], (m.shape[0],) + pred.shape)
+    predb = jnp.broadcast_to(pred[None], orig.shape)
+    return jnp.stack([orig, predb, predb - orig], axis=2)
 
 
 def do_m_sweep(
@@ -129,18 +136,21 @@ def m_z_cross_grid(model, variables, x: Array, m: Array, t: Array) -> Array:
 
 def mediation_contributions(
     model, variables,
-    x_a: Array, m_a: Array, t_a: Array,
-    x_b: Array, m_b: Array, t_b: Array,
-    z_pool: Array, rng: jax.Array, n_mc: int = 50,
+    m_a: Array, m_b: Array,
+    z_pool_a: Array, z_pool_b: Array,
+    rng: jax.Array, n_mc: int = 50,
 ) -> dict:
     """Monte-Carlo mediation decomposition of the image change A -> B
     (I7, ref mnist_test/05_feature_analysis/analyze_mediation.py:120-201):
     total change ||x_B - x_A||, M-swap contribution, Z-swap contribution, and
-    per-feature single-swap contributions, averaged over z samples drawn from
-    a pool of real abducted z's. All MC samples decode in one vmap."""
+    per-feature single-swap contributions. z_a is bootstrapped from class A's
+    abducted-z pool and z_b from class B's (ref :128-134 z_a_list/z_b_list —
+    two distinct pools, not one). m_a/m_b are the mechanism outputs
+    morph_predictor(t) per the reference. All MC samples decode in one vmap."""
     m_dim = m_a.shape[-1]
-    idx = jax.random.randint(rng, (n_mc, 2), 0, z_pool.shape[0])
-    z_as, z_bs = z_pool[idx[:, 0]], z_pool[idx[:, 1]]
+    ka, kb = jax.random.split(rng)
+    z_as = z_pool_a[jax.random.randint(ka, (n_mc,), 0, z_pool_a.shape[0])]
+    z_bs = z_pool_b[jax.random.randint(kb, (n_mc,), 0, z_pool_b.shape[0])]
 
     def one(z_a, z_b):
         base = decode(model, variables, m_a[None], z_a[None])[0]

@@ -56,6 +56,8 @@ class CheckpointBook:
         if val_loss is not None and val_loss < self.best_val:
             self.best_val = float(val_loss)
             self._save("best", state, epoch)
+            with open(os.path.join(self.run_dir, "best.meta.json"), "w") as f:
+                json.dump({"epoch": epoch, "val_loss": self.best_val}, f)
         if self.period and (epoch + 1) % self.period == 0:
             self._save(f"epoch_{epoch + 1}", state, epoch)
 
@@ -65,12 +67,19 @@ class CheckpointBook:
         return self._ckptr.restore(path, item=jax.device_get(template))
 
     def restore_latest(self, template: Any) -> Tuple[Any, int]:
-        """True resume (absent in the reference): (state, next_epoch)."""
+        """True resume (absent in the reference): (state, next_epoch).
+
+        Also restores the best-val watermark so a resumed run cannot
+        overwrite a better pre-interruption 'best' checkpoint."""
         meta_path = os.path.join(self.run_dir, "latest.meta.json")
         if not os.path.exists(meta_path):
             return template, 0
         with open(meta_path) as f:
             epoch = json.load(f)["epoch"]
+        best_meta = os.path.join(self.run_dir, "best.meta.json")
+        if os.path.exists(best_meta):
+            with open(best_meta) as f:
+                self.best_val = float(json.load(f).get("val_loss", float("inf")))
         return self.restore("latest", template), epoch + 1
 
 

@@ -70,18 +70,25 @@ def verify_stratification(plan: KFoldPlan, group_names: Optional[Sequence[str]] 
     return report
 
 
-def make_fold_mesh(n_folds: int, devices: Optional[Sequence] = None) -> Mesh:
-    """fold x data mesh: fold axis = gcd(n_folds, n_devices)-ish split.
+def make_fold_mesh(n_folds: int, devices: Optional[Sequence] = None,
+                   batch_size: Optional[int] = None) -> Mesh:
+    """fold x data mesh.
 
-    With 8 devices and 5 folds the fold axis cannot divide the device grid, so
+    With n_devices % n_folds == 0 the fold axis is a real mesh axis; otherwise
     folds map to the mesh via vmap (all folds resident, XLA interleaves) and
-    the mesh is 1-D data-parallel; with n_devices % n_folds == 0 the fold axis
-    is a real mesh axis."""
+    the mesh is data-parallel only. When ``batch_size`` is given, the data
+    axis shrinks to gcd(batch, available) so per-fold batches always shard
+    evenly (8 devices / 5 folds / batch 4 -> a 1x4 mesh, not a crash)."""
+    import math
+
     devs = list(devices if devices is not None else jax.devices())
     n = len(devs)
-    if n % n_folds == 0:
-        return Mesh(np.asarray(devs).reshape(n_folds, n // n_folds), ("fold", "data"))
-    return Mesh(np.asarray(devs).reshape(1, n), ("fold", "data"))
+    fold_size = n_folds if n % n_folds == 0 else 1
+    data_size = n // fold_size
+    if batch_size:
+        data_size = math.gcd(batch_size, data_size) or 1
+    devs = devs[: fold_size * data_size]
+    return Mesh(np.asarray(devs).reshape(fold_size, data_size), ("fold", "data"))
 
 
 @dataclasses.dataclass
@@ -149,8 +156,11 @@ def make_parallel_fold_step(step_fn: Callable) -> Callable:
 
 def gather_fold_batches(data: Dict[str, jnp.ndarray], idx: np.ndarray, mesh: Mesh) -> Dict:
     """Device-side gather of per-fold batches: data[k] (N, ...) ->
-    (n_folds, batch, ...), sharded (fold, data)."""
-    sh = NamedSharding(mesh, P("fold", "data"))
+    (n_folds, batch, ...), sharded (fold, data); the batch dim falls back to
+    replication when it does not divide the data axis (e.g. ragged val sets)."""
+    data_size = mesh.shape["data"]
+    spec = P("fold", "data") if idx.shape[1] % data_size == 0 else P("fold")
+    sh = NamedSharding(mesh, spec)
     gidx = jnp.asarray(idx)
     return {k: jax.device_put(jnp.take(v, gidx, axis=0), sh) for k, v in data.items()}
 
@@ -180,7 +190,7 @@ def train_kfold(
     from causalvae_tpu.train.checkpoints import CheckpointBook
 
     plan = stratified_kfold(labels, n_folds, seed)
-    mesh = mesh or make_fold_mesh(n_folds)
+    mesh = mesh or make_fold_mesh(n_folds, batch_size=batch_size)
     states = shard_fold_tree(init_stacked_states(init_one, tx, n_folds, seed), mesh)
     device_data = {
         k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))

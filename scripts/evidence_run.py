@@ -184,17 +184,16 @@ def main():
                      jnp.asarray(tte[:10]), jnp.eye(10, dtype=jnp.float32))
     plots.intervention_grid(xte[:10], np.asarray(grid),
                             os.path.join(args.out, "do_t_grid.png"))
-    # 10x10 Orig/Pred/Diff CSV (ref visualize.py:12-51): per (source, target),
-    # the measured source M vs the mechanism's predicted M for the target
-    pred = np.asarray(intervention_matrix(
-        vae, variables, jnp.asarray(xte[:10]), jnp.asarray(mte[:10]),
-        jnp.asarray(tte[:10]), jnp.eye(10, dtype=jnp.float32)))  # (10, 12)
+    # 10x10 Orig/Pred/Diff CSV (ref visualize.py:12-51)
+    mat = np.asarray(intervention_matrix(
+        vae, variables, jnp.asarray(mte[:10]),
+        jnp.eye(10, dtype=jnp.float32)))  # (10, 10, 3, 12)
     write_csv(
         os.path.join(args.out, "intervention_10x10.csv"),
         [{"source": i, "target": j,
-          **{f"{names[f]}_orig": float(mte[i, f]) for f in range(12)},
-          **{f"{names[f]}_pred": float(pred[j, f]) for f in range(12)},
-          **{f"{names[f]}_diff": float(pred[j, f] - mte[i, f]) for f in range(12)}}
+          **{f"{names[f]}_orig": float(mat[i, j, 0, f]) for f in range(12)},
+          **{f"{names[f]}_pred": float(mat[i, j, 1, f]) for f in range(12)},
+          **{f"{names[f]}_diff": float(mat[i, j, 2, f]) for f in range(12)}}
          for i in range(10) for j in range(10)],
     )
 

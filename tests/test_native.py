@@ -122,3 +122,18 @@ def test_loader_missing_file_yields_zeros(image_files):
     (data, idx), = list(loader)
     loader.close()
     np.testing.assert_array_equal(data, 0.0)
+
+
+def test_batch_loader_in_submission_order(image_files):
+    """Batches must arrive in submission order regardless of worker
+    completion order, so positional consumers stay corpus-aligned."""
+    paths, _ = image_files
+    rng = np.random.default_rng(0)
+    order = rng.integers(0, len(paths), 64).astype(np.int32)
+    loader = native.NativeBatchLoader(
+        paths, order, (16, 16), batch_size=4, binarize=True,
+        n_threads=4, max_queue=3,
+    )
+    got = np.concatenate([idx for _, idx in loader])
+    loader.close()
+    np.testing.assert_array_equal(got, order)

@@ -76,12 +76,12 @@ def test_m_z_cross_grid(model_and_vars):
 
 def test_mediation_contributions(model_and_vars):
     model, variables, x = model_and_vars
-    m = jnp.zeros((12,)); t = jnp.eye(10)[0].astype(jnp.float32)
-    z_pool = jax.random.normal(KEY, (20, 6))
+    m = jnp.zeros((12,))
+    # distinct per-class style pools (ref z_a_list / z_b_list)
+    z_pool_a = jax.random.normal(KEY, (20, 6))
+    z_pool_b = jax.random.normal(jax.random.fold_in(KEY, 1), (20, 6)) + 2.0
     res = I.mediation_contributions(
-        model, variables,
-        jnp.asarray(x[0]), m, t, jnp.asarray(x[1]), m + 1.0, t,
-        z_pool, KEY, n_mc=8,
+        model, variables, m, m + 1.0, z_pool_a, z_pool_b, KEY, n_mc=8,
     )
     assert res["m_contribution_pct"].shape == (8,)
     assert res["feature_contribution_pct"].shape == (8, 12)
@@ -137,3 +137,15 @@ def test_diff_map(model_and_vars):
     d = diff_map(model, variables, jnp.asarray(x), m, t, shift=5.0)
     assert d.shape == x.shape
     assert float(d.min()) >= 0.0
+
+
+def test_intervention_matrix_orig_pred_diff(model_and_vars):
+    model, variables, _ = model_and_vars
+    m = jnp.asarray(np.random.default_rng(0).standard_normal((4, 12)),
+                    jnp.float32)
+    mat = I.intervention_matrix(model, variables, m, jnp.eye(10, dtype=jnp.float32))
+    assert mat.shape == (4, 10, 3, 12)
+    np.testing.assert_allclose(np.asarray(mat[:, :, 0]),  # orig = source m
+                               np.broadcast_to(np.asarray(m)[:, None], (4, 10, 12)))
+    np.testing.assert_allclose(np.asarray(mat[:, :, 2]),
+                               np.asarray(mat[:, :, 1] - mat[:, :, 0]), atol=1e-6)
