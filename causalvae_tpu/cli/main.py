@@ -100,7 +100,12 @@ def _kfold_train(args, corpus, n_folds: int):
     from causalvae_tpu.train.loop import make_vae_eval_step, make_vae_step
 
     cfg = VesselConfig()
-    hw = (96, 160) if corpus.raw_images is not None else (cfg.img_height, cfg.img_width)
+    if getattr(args, "img_hw", None):
+        hw = tuple(args.img_hw)
+    elif corpus.raw_images is not None:
+        hw = (96, 160)
+    else:
+        hw = (cfg.img_height, cfg.img_width)
 
     # device-resident preprocessed corpus (no augmentation inside k-fold - the
     # reference's k-fold trainer also trains on mode='all' unaugmented data)
@@ -440,6 +445,8 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--folds", type=int, default=5)
     k.add_argument("--batch-size", type=int)
     k.add_argument("--verify", action="store_true")
+    k.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"),
+                   help="training resolution override (default: config)")
     k.add_argument("--data"), k.add_argument("--csv")
     k.set_defaults(fn=cmd_kfold)
 
@@ -476,6 +483,7 @@ def build_parser() -> argparse.ArgumentParser:
     vr.add_argument("--epochs", type=int)
     vr.add_argument("--folds", type=int, default=5)
     vr.add_argument("--batch-size", type=int)
+    vr.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"))
     vr.add_argument("--data"), vr.add_argument("--csv")
     vr.set_defaults(fn=cmd_vessel_report)
     return p

@@ -105,3 +105,32 @@ def test_cascade_augment_standardizes():
 def test_cascade_min_max_normalization():
     c = DC.synthetic_cascade_corpus(n=20, n_groups=4)
     assert c.m.min() >= 0.0 and c.m.max() <= 1.0 + 1e-6
+
+
+def test_scan_corpus_and_file_backed_kfold(tmp_path):
+    """File-backed path end-to-end: scan_corpus (CSV x tiff matching) feeds
+    the CLI kfold trainer, which must decode from disk (raw_images=None)."""
+    import pandas as pd
+
+    from causalvae_tpu.data.vessel import FEATURE_COLUMNS, scan_corpus
+    from tests.test_native import _write_tiff_f32
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        arr = (rng.random((48, 80)) > 0.8).astype(np.float32)
+        _write_tiff_f32(str(tmp_path / f"scan-{i}.vessel.mip.tiff"), arr)
+        rows.append({"Image ID": i, "group_name": f"g{i % 2}",
+                     **{c: float(rng.random()) for c in FEATURE_COLUMNS}})
+    csv = tmp_path / "meta.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    corpus = scan_corpus(str(csv), str(tmp_path))
+    assert corpus.raw_images is None and len(corpus.paths) == 8
+    assert corpus.t_dim == 2
+
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path / "out"), "kfold", "--epochs", "1",
+          "--folds", "2", "--batch-size", "2", "--img-hw", "96", "160",
+          "--csv", str(csv), "--data", str(tmp_path)])
