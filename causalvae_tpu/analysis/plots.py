@@ -121,6 +121,7 @@ def phase_comparison_bars(comparison: Dict, path: str):
 def recon_triptych(x, recon, path: str, *, uncertainty=None, n: int = 4):
     """original | reconstruction | (optional per-pixel std) rows
     (T3 sample-recon PNGs, I4 ensemble uncertainty maps)."""
+    n = min(n, len(np.asarray(x)))
     cols = 3 if uncertainty is not None else 2
     fig, axes = plt.subplots(n, cols, figsize=(3 * cols, 2.2 * n))
     axes = np.atleast_2d(axes)

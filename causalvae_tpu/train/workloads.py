@@ -9,6 +9,7 @@ periodic checkpoint cadence, and supports resume (SURVEY.md T1/T3/T5/T6/T7).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -111,6 +112,7 @@ def _generic_train(
     *, seed: int, run_dir: Optional[str], period: int, resume: bool,
     batch_size_of: Callable[[Dict], int],
     init_kwargs: Optional[Dict] = None,
+    artifact_cb: Optional[Callable[[int, TrainState], None]] = None,
 ):
     key = jax.random.PRNGKey(seed)
     variables = model.init(
@@ -150,6 +152,8 @@ def _generic_train(
                 logger.log(epoch, {"loss": val_loss}, prefix="val_")
         if book:
             book.end_of_epoch(state, epoch, val_loss)
+        if artifact_cb and period and (epoch + 1) % period == 0:
+            artifact_cb(epoch, state)
     logger.log(-1, {"images_per_sec": timer.images_per_sec})
     return state, logger
 
@@ -164,9 +168,11 @@ def train_vessel(
     epochs: Optional[int] = None,
     resume: bool = False,
     pretrained_backbone: Optional[dict] = None,
+    period: int = 50,
 ):
     """Vessel CausalViTVAE training with the weighted/sparsity/NLL objective
-    (T2/T3, ref vessel_analysis/01_train/train.py:100-203)."""
+    (T2/T3, ref vessel_analysis/01_train/train.py:100-203). ``period`` sets
+    the periodic-checkpoint + sample-recon-PNG cadence (ref: every 50)."""
     from causalvae_tpu.data.vessel import iterate_batches
 
     img_hw = img_hw or (cfg.img_height, cfg.img_width)
@@ -185,6 +191,22 @@ def train_vessel(
     step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
     eval_step = make_vae_eval_step(model, loss_fn, has_batch_stats=True)
     b0 = next(iterate_batches(corpus, "train", 2, img_hw, shuffle_seed=0))
+
+    artifact_cb = None
+    if run_dir:
+        # sample-recon PNG every `period` epochs (T3, ref train.py:186-200)
+        sample = {k: jnp.asarray(v[:4]) for k, v in b0.items() if k != "labels"}
+
+        def artifact_cb(epoch, state):
+            from causalvae_tpu.analysis.plots import recon_triptych
+
+            out = model.apply(state.variables, sample["x"], sample["m"],
+                              sample["t"], rng=jax.random.PRNGKey(0),
+                              train=False)
+            recon_triptych(
+                np.asarray(sample["x"]), np.asarray(out.recon_x),
+                os.path.join(run_dir, f"recon_epoch_{epoch + 1}.png"))
+
     state, logger = _generic_train(
         model, step, eval_step,
         (jnp.asarray(b0["x"]), jnp.asarray(b0["m"]), jnp.asarray(b0["t"])),
@@ -196,9 +218,10 @@ def train_vessel(
             corpus, "val", cfg.batch_size, img_hw, augment=False,
             drop_remainder=False,
         ),
-        seed=42, run_dir=run_dir, period=50, resume=resume,
+        seed=42, run_dir=run_dir, period=period, resume=resume,
         batch_size_of=lambda b: len(b["m"]),
         init_kwargs={"train": True},
+        artifact_cb=artifact_cb,
     )
     return model, state, logger
 

@@ -160,3 +160,25 @@ def test_cli_vessel_report_pipeline(tmp_path):
               "pairwise_report_formatted", "significant_changes"):
         path = os.path.join(str(tmp_path), f"{f}.csv")
         assert os.path.getsize(path) > 0, f
+
+
+def test_train_vessel_recon_artifact(tmp_path):
+    """T3 cadence: a sample-recon PNG lands in run_dir every `period` epochs
+    (ref vessel train.py:186-200 sample plots every 50)."""
+    import jax.numpy as jnp
+
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.data.vessel import synthetic_corpus
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.train import workloads as W
+
+    corpus = synthetic_corpus(n=10, hw=(64, 96), seed=0)
+    cfg = VesselConfig(batch_size=4, epochs=1, z_dim=8)
+    model = CausalViTVAE(img_size=(64, 96), m_dim=12, t_dim=corpus.t_dim,
+                         z_dim=8, embed_dim=32, depth=1, heads=2, mlp_dim=64,
+                         vit_latent_dim=32)
+    model, state, logger = W.train_vessel(corpus, cfg, model=model,
+                                          img_hw=(64, 96), period=1,
+                                          run_dir=str(tmp_path))
+    assert os.path.exists(os.path.join(str(tmp_path), "latest"))
+    assert os.path.getsize(os.path.join(str(tmp_path), "recon_epoch_1.png")) > 0
