@@ -177,8 +177,9 @@ def mip_quality_grid(images, group_labels, path: str, *, per_group: int = 4,
     images = np.asarray(images)
     groups = np.unique(group_labels)
     fig, axes = plt.subplots(len(groups), per_group,
-                             figsize=(2.2 * per_group, 1.8 * len(groups)))
-    axes = np.atleast_2d(axes)
+                             figsize=(2.2 * per_group, 1.8 * len(groups)),
+                             squeeze=False)
+    axes = np.asarray(axes).reshape(len(groups), per_group)
     for gi, g in enumerate(groups):
         sel = np.nonzero(np.asarray(group_labels) == g)[0][:per_group]
         for k in range(per_group):

@@ -6,9 +6,10 @@ workflows:
 
     causalvae train   {mnist,mnist-bayes,vessel,cvae,vit,cascade}
     causalvae kfold   [--verify] [--epochs N] [--folds K]
-    causalvae analyze {mechanism,residual,importance,independence,uncertainty,
-                       causal,translate}
+    causalvae analyze {mechanism,residual,importance,gradcam,independence,
+                       uncertainty,causal,all}
     causalvae counterfactual {do-t,do-m,z-permute}
+    causalvae translate / cascade / vessel-report
 
 With no --data/--csv arguments, deterministic synthetic corpora stand in so
 every workflow runs end-to-end in this environment (no MNIST download, no
@@ -286,6 +287,28 @@ def cmd_analyze(args):
         r = residual_leakage_analysis(vae, variables, ds.x, ds.m, ds.t, ds.labels,
                                       epochs=3)
         out["residual"] = {"accuracy": r["accuracy"], "verdict": r["verdict"]}
+    if args.what in ("gradcam", "all"):
+        from causalvae_tpu.analysis.gradcam import per_class_mean_cam
+        from causalvae_tpu.analysis.residual import (compute_residuals,
+                                                     train_classifier_on)
+
+        # Grad-CAM over the residual classifier (A3): where does T-information
+        # leak into X - X_hat per digit
+        import jax
+
+        res = np.asarray(compute_residuals(
+            vae, variables, jnp.asarray(ds.x[:256]), jnp.asarray(ds.m[:256]),
+            jnp.asarray(ds.t[:256]), jax.random.PRNGKey(0)))
+        clf, clf_vars, _ = train_classifier_on(res, ds.labels[:256], epochs=3)
+        cams = per_class_mean_cam(clf, clf_vars, res, ds.labels[:256])
+        os.makedirs(args.out, exist_ok=True)
+        from causalvae_tpu.analysis.plots import mip_quality_grid
+
+        mip_quality_grid(cams, [str(c) for c in range(10)],
+                         os.path.join(args.out, "gradcam_per_class.png"),
+                         per_group=1)
+        out["gradcam"] = {"per_class_cam_shape": list(cams.shape),
+                          "artifact": "gradcam_per_class.png"}
     if args.what in ("independence", "all"):
         from causalvae_tpu.analysis.independence import conditional_independence_test
 
@@ -452,7 +475,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     a = sub.add_parser("analyze")
     a.add_argument("what", choices=["mechanism", "residual", "importance",
-                                    "independence", "uncertainty", "causal", "all"])
+                                    "gradcam", "independence", "uncertainty",
+                                    "causal", "all"])
     a.add_argument("--epochs", type=int)
     a.add_argument("--pair", type=int, nargs=2, default=(1, 8))
     a.add_argument("--bayesian", action="store_true",
