@@ -125,10 +125,13 @@ def build_morph_mnist(
     (ref dataset.py:101-132 cache semantics, minus the per-item host loop)."""
     if limit_count is not None:
         images, labels = images[:limit_count], labels[:limit_count]
-    # content digest ties the cache to THIS corpus, not just its size —
-    # swapping --data between equal-sized datasets must not reuse stale M
-    digest = hashlib.sha1(np.ascontiguousarray(images[:: max(1, len(images) // 64)])
-                          .tobytes()).hexdigest()
+    # content digest ties the cache to THIS corpus AND extractor flavor —
+    # swapping --data between equal-sized datasets, or toggling the device
+    # extractor, must not reuse stale M
+    digest = hashlib.sha1(
+        np.ascontiguousarray(images[:: max(1, len(images) // 64)]).tobytes()
+        + f"|{n_features}|{'dev' if use_device_extractor else 'host'}".encode()
+    ).hexdigest()
     m = None
     if cache_path and os.path.exists(cache_path):
         blob = np.load(cache_path, allow_pickle=False)

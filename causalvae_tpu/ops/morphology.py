@@ -98,7 +98,12 @@ def edt_max(binary: jnp.ndarray) -> jnp.ndarray:
     d2min = jnp.min(jnp.where(bg[None, :], d2, inf), axis=1)
     d2min = jnp.where(binary.ravel(), d2min, 0.0)
     any_bg = jnp.any(bg)
-    return jnp.where(any_bg, jnp.sqrt(jnp.max(d2min)), 0.0)
+    # scipy's distance_transform_edt with NO background pixels degenerates to
+    # d[i, j] = hypot(i + 1, j) (a virtual zero above the top-left corner);
+    # max = hypot(h, w - 1). Replicated so device == host on saturated images
+    # (e.g. an early-training VAE reconstructing uniform gray).
+    no_bg_max = jnp.asarray(math.hypot(h, w - 1), _F32)
+    return jnp.where(any_bg, jnp.sqrt(jnp.max(d2min)), no_bg_max)
 
 
 _PERIM_OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
@@ -178,6 +183,10 @@ def ellipse_params(mask: jnp.ndarray):
     safe2 = jnp.where(m00 == 0, 1.0, (m00 * m00).astype(_F32))
     a = n02.astype(_F32) / safe2  # mu02 / mu00
     b = -n11.astype(_F32) / safe2
+    # normalize -0.0 -> +0.0: arctan2(-0.0, negative) is -pi but the host's
+    # integer-zero path yields +0.0 -> +pi; mirror-symmetric wide masks would
+    # otherwise flip orientation by pi (f6 = 1.0 vs 0.0)
+    b = jnp.where(b == 0.0, 0.0, b)
     c = n20.astype(_F32) / safe2
     tr2 = (a + c) / 2.0
     det = a * c - b * b
@@ -191,6 +200,7 @@ def ellipse_params(mask: jnp.ndarray):
         jnp.where(b < 0, -math.pi / 4.0, math.pi / 4.0),
         0.5 * jnp.arctan2(-2.0 * b, c - a),
     )
+    orient = jnp.where(m00 == 0, 0.0, orient)  # empty mask: host returns 0.0
     return major, ecc, orient
 
 
@@ -343,6 +353,10 @@ def hu_moments_log(img: jnp.ndarray) -> jnp.ndarray:
         n30 - 3 * n12
     ) * (n21 + n03) * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
     hu = jnp.stack([h1, h2, h3, h4, h5, h6, h7])
+    # numerical floor: invariants below 1e-6 are float-cancellation noise at
+    # f32 (their sign is a coin flip that the log transform would blow up to
+    # +/-1.0); both this and the host oracle clamp them to exactly 0
+    hu = jnp.where(jnp.abs(hu) < 1e-6, 0.0, hu)
     return -jnp.sign(hu) * jnp.log10(jnp.abs(hu) + 1e-10) / 10.0
 
 
@@ -418,5 +432,11 @@ def features16(img: jnp.ndarray, threshold: float = 0.2) -> jnp.ndarray:
     return jnp.where(jnp.any(binary), feats, jnp.zeros(16, _F32))
 
 
-features12_batch = jax.jit(jax.vmap(features12))
-features16_batch = jax.jit(jax.vmap(features16))
+@functools.partial(jax.jit, static_argnums=1)
+def features12_batch(imgs: jnp.ndarray, threshold: float = 0.2) -> jnp.ndarray:
+    return jax.vmap(lambda im: features12(im, threshold))(imgs)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def features16_batch(imgs: jnp.ndarray, threshold: float = 0.2) -> jnp.ndarray:
+    return jax.vmap(lambda im: features16(im, threshold))(imgs)

@@ -272,6 +272,10 @@ def hu_moments_log(img: np.ndarray) -> np.ndarray:
         hu = cv2.HuMoments(cv2.moments(np.asarray(img, dtype=np.float64))).ravel()
     else:  # pragma: no cover
         hu = _hu_from_moments(central_moments(img, 3), raw_moments(img, 1)[0, 0])
+    # numerical floor shared with the device path: invariants below 1e-6 are
+    # below f32 resolution on device, so both paths clamp them to exactly 0
+    # (the raw log transform would turn their noise-sign into +/-1.0)
+    hu = np.where(np.abs(hu) < 1e-6, 0.0, hu)
     return np.array(
         [-1.0 * np.sign(h) * np.log10(np.abs(h) + 1e-10) / 10.0 for h in hu],
         dtype=np.float64,
