@@ -118,16 +118,33 @@ def causal_validation_report(
     cond_a: int,
     cond_b: int,
     feature_names: Sequence[str],
-    *, noise_std: float = 0.5, seed: int = 0,
+    *, noise_std: float = 0.5, seed: int = 0, use_dowhy: str = "auto",
 ) -> Dict:
     """Full A7 table for one condition pair across all features: effect,
-    RCC p, placebo p, tipping point (ref docs/05_feature_analysis.md:65-80)."""
+    RCC p, placebo p, tipping point (ref docs/05_feature_analysis.md:65-80).
+
+    use_dowhy: "auto" prefers the real DoWhy library when importable and
+    falls back to the self-contained refuters; "never" forces the built-in
+    path; "require" raises if DoWhy is unavailable."""
+    if use_dowhy not in ("auto", "never", "require"):
+        raise ValueError(f"use_dowhy must be auto/never/require, got {use_dowhy!r}")
+    dowhy_fn = None
+    if use_dowhy != "never":
+        try:
+            import dowhy  # noqa: F401
+
+            dowhy_fn = _dowhy_feature_report
+        except ImportError:
+            if use_dowhy == "require":
+                raise
     rows = {}
     for f, name in enumerate(feature_names):
-        est = estimate_effect(
-            m_by_condition[cond_a][:, f], m_by_condition[cond_b][:, f],
-            noise_std=noise_std, seed=seed + f,
-        )
+        a = m_by_condition[cond_a][:, f]
+        b = m_by_condition[cond_b][:, f]
+        if dowhy_fn is not None:
+            rows[name] = dowhy_fn(a, b, noise_std=noise_std, seed=seed + f)
+            continue
+        est = estimate_effect(a, b, noise_std=noise_std, seed=seed + f)
         rcc = refute_random_common_cause(est["treat"], est["outcome"], est["effect"])
         plc = refute_placebo(est["treat"], est["outcome"], est["effect"])
         tip = tipping_point(est["treat"], est["outcome"], est["effect"])
@@ -139,3 +156,56 @@ def causal_validation_report(
             "robust": rcc["p_value"] > 0.05 and plc["p_value"] > 0.05,
         }
     return rows
+
+
+def _dowhy_feature_report(
+    m_a: np.ndarray, m_b: np.ndarray, *, noise_std: float, seed: int
+) -> Dict:
+    """One feature's report through the REAL DoWhy library, mirroring the
+    reference exactly (ref analyze_dowhy.py:75-160): CausalModel with a
+    T -> M graph, backdoor.linear_regression, RandomCommonCause + Placebo
+    refuters, tipping-point sweep via add_unobserved_common_cause.
+
+    Only called when ``import dowhy`` succeeds (not installable in the dev
+    environment; the self-contained path is the tested default)."""
+    import pandas as pd
+    from dowhy import CausalModel
+
+    rng = np.random.default_rng(seed)
+    outcome = np.concatenate([m_a, m_b]) + rng.normal(
+        0.0, noise_std, len(m_a) + len(m_b)
+    )
+    treat = np.concatenate([np.zeros(len(m_a)), np.ones(len(m_b))])
+    df = pd.DataFrame({"T": treat.astype(bool), "M": outcome})
+    model = CausalModel(data=df, treatment="T", outcome="M", graph="digraph {T -> M;}")
+    estimand = model.identify_effect(proceed_when_unidentifiable=True)
+    est = model.estimate_effect(estimand, method_name="backdoor.linear_regression")
+    effect = float(est.value)
+    rcc = model.refute_estimate(
+        estimand, est, method_name="random_common_cause", show_progress_bar=False
+    )
+    plc = model.refute_estimate(
+        estimand, est, method_name="placebo_treatment_refuter",
+        placebo_type="permute", show_progress_bar=False,
+    )
+    tip = None
+    for s in np.arange(0.1, 1.01, 0.1):
+        ref = model.refute_estimate(
+            estimand, est, method_name="add_unobserved_common_cause",
+            confounders_effect_on_treatment="binary_flip",
+            confounders_effect_on_outcome="linear",
+            effect_strength_on_treatment=0.05,
+            effect_strength_on_outcome=-np.sign(effect) * s,
+        )
+        if np.sign(ref.new_effect) != np.sign(effect):
+            tip = float(s)
+            break
+    rcc_p = float(getattr(rcc, "refutation_result", {}).get("p_value", np.nan))
+    plc_p = float(getattr(plc, "refutation_result", {}).get("p_value", np.nan))
+    return {
+        "effect": effect,
+        "rcc_p": rcc_p,
+        "placebo_p": plc_p,
+        "tipping_point": tip,
+        "robust": rcc_p > 0.05 and plc_p > 0.05,
+    }

@@ -179,3 +179,33 @@ def m_influence_check(
         ratio = float(m_mass / (z_mass + 1e-12))
     verdict = "CRITICAL: decoder ignoring M" if diff < 1e-4 else "OK"
     return {"mean_pixel_diff": diff, "m_to_z_weight_ratio": ratio, "verdict": verdict}
+
+
+def fix_csv_names(csv_path: str, group_names: Sequence[str]) -> int:
+    """Rewrite numeric Treatment_From/Treatment_To indices in a pairwise
+    report CSV into group names, in place (ref vessel_analysis/
+    02_evaluate_kfold/fix_csv_names.py:11-68). Returns the number of cells
+    rewritten; non-numeric columns are left untouched."""
+    import csv
+
+    with open(csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        return 0
+    fixed = 0
+    for col in ("Treatment_From", "Treatment_To"):
+        if col not in rows[0]:
+            continue
+        try:
+            vals = [int(float(r[col])) for r in rows]
+        except ValueError:
+            continue  # already names
+        for r, v in zip(rows, vals):
+            if 0 <= v < len(group_names):
+                r[col] = group_names[v]
+                fixed += 1
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    return fixed

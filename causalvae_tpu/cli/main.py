@@ -128,7 +128,8 @@ def _kfold_train(args, corpus, n_folds: int):
     def loss_fn(out, batch):
         return L.vessel_loss(out, batch["x"], batch["m"], beta=cfg.beta,
                              lambda_morph=cfg.lambda_morph,
-                             lambda_sparsity=cfg.lambda_sparsity)
+                             lambda_sparsity=cfg.lambda_sparsity,
+                             w=batch.get("w"))
 
     step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
     eval_step = make_vae_eval_step(model, loss_fn, has_batch_stats=True)

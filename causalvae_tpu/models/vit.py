@@ -35,11 +35,12 @@ class ResBlock(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """MHA over the token sequence. The deterministic (inference/abduction)
-    path runs the fused Pallas flash-attention kernel on TPU
-    (ops/kernels/attention.py); training keeps XLA attention so dropout on the
-    attention probabilities matches the reference's semantics
-    (ref vit_backbone.py:30 torch nn.MultiheadAttention(dropout=0.1))."""
+    """MHA over the token sequence, via the fused Pallas flash-attention
+    kernel on TPU (ops/kernels/attention.py) for BOTH training and inference:
+    attention-probability dropout (ref vit_backbone.py:30, torch
+    nn.MultiheadAttention(dropout=0.1)) runs inside the kernel with a
+    counter-based mask, so the (N, N) probability matrix never reaches HBM
+    on the training hot path either."""
 
     dim: int
     heads: int
@@ -57,11 +58,10 @@ class MultiHeadAttention(nn.Module):
         )(x)
         q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B,H,N,D)
         if train and self.dropout > 0.0:
-            scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(self.dropout, deterministic=False)(probs)
-            out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+            seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
+            out = flash_attention(
+                q, k, v, dropout_rate=self.dropout, dropout_seed=seed
+            )
         else:
             out = flash_attention(q, k, v)
         out = jnp.moveaxis(out, 1, 2).reshape(b, n, self.dim)

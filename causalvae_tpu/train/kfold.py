@@ -93,15 +93,15 @@ def make_fold_mesh(n_folds: int, devices: Optional[Sequence] = None,
 
 @dataclasses.dataclass
 class FoldBatcher:
-    """Host-side per-fold batch index sampler; data itself stays on device.
-
-    Every fold draws ``batch_size`` sample indices from its own train subset
-    each step (with-replacement shuffling epochs like the reference's
-    DataLoader(shuffle=True) semantics, but stacked across folds)."""
+    """Host-side per-fold batch index sampler; data itself stays on device."""
 
     plan: KFoldPlan
     batch_size: int
     seed: int = 0
+
+    # NOTE: sampling is shuffled WITHOUT replacement within each fold-local
+    # epoch (reshuffle when a pool is exhausted) — the same semantics as the
+    # reference's DataLoader(shuffle=True), stacked across folds.
 
     def __post_init__(self):
         self._rngs = [
@@ -186,7 +186,14 @@ def train_kfold(
     """Full k-fold training: returns (stacked final states, plan, history).
 
     data: dict of full-dataset arrays keyed like batches ('x', 'm', 't').
-    step_fn: single-fold (state, batch, rng) -> (state, metrics)."""
+    step_fn: single-fold (state, batch, rng) -> (state, metrics).
+    eval_fn: single-fold (state, batch, rng) -> metrics over one val batch.
+      Ragged val folds are padded to the longest fold; the batch carries a
+      validity mask under ``batch['w']`` (1 real / 0 padding) which the
+      eval loss must honor (ops/losses.py sum losses take ``w=``). Reported
+      val metrics are per-sample means over the *valid* samples, matching the
+      reference's ``validate`` normalization (ref train_kfold.py:105-115,
+      ``val_loss / len(dataset)``)."""
     from causalvae_tpu.train.checkpoints import CheckpointBook
 
     plan = stratified_kfold(labels, n_folds, seed)
@@ -207,9 +214,16 @@ def train_kfold(
             for f in range(n_folds)
         ]
 
-    # fixed-size val batches (pad to max val size; mask via weights if needed)
-    val_len = min(len(v) for v in plan.val_idx)
-    val_idx = np.stack([v[:val_len] for v in plan.val_idx])
+    # fixed-size val batches: pad ragged folds to the longest val set and
+    # carry a validity mask so every real sample counts exactly once
+    val_len = max(len(v) for v in plan.val_idx)
+    val_idx = np.stack([
+        np.pad(v, (0, val_len - len(v)), mode="edge") for v in plan.val_idx
+    ])
+    val_w = np.stack([
+        (np.arange(val_len) < len(v)).astype(np.float32) for v in plan.val_idx
+    ])
+    val_counts = np.asarray([len(v) for v in plan.val_idx], np.float32)
 
     key = jax.random.PRNGKey(seed)
     history: List[Dict] = []
@@ -228,9 +242,22 @@ def train_kfold(
         val_metrics = None
         if peval is not None:
             vbatch = gather_fold_batches(device_data, val_idx, mesh)
+            vbatch["w"] = jax.device_put(
+                jnp.asarray(val_w),
+                NamedSharding(
+                    mesh,
+                    P("fold", "data") if val_len % mesh.shape["data"] == 0
+                    else P("fold"),
+                ),
+            )
             key, sub = jax.random.split(key)
             val_metrics = jax.tree.map(
                 np.asarray, peval(states, vbatch, jax.random.split(sub, n_folds))
+            )
+            # per-sample means over valid samples (ref validate normalization)
+            val_metrics = jax.tree.map(
+                lambda a: a / val_counts if a.shape == val_counts.shape else a,
+                val_metrics,
             )
         rec = {"epoch": epoch, "train": train_metrics, "val": val_metrics}
         history.append(rec)

@@ -180,3 +180,41 @@ def test_vessel_report_helpers():
 
     gate = reliability_gate(np.ones((3, 4)) * 0.7, sig_t, ["g0", "g1", "g2"], names)
     assert all(r["category"] == "reliable" for r in gate)
+
+
+def test_fix_csv_names_rewrites_numeric_treatments(tmp_path):
+    from causalvae_tpu.analysis.vessel_report import fix_csv_names
+
+    p = tmp_path / "all_pairwise_report.csv"
+    p.write_text(
+        "Treatment_From,Treatment_To,Feature,Diff\n"
+        "0,2,area,1.5\n"
+        "1,0,area,-0.3\n"
+    )
+    n = fix_csv_names(str(p), ["PBS", "DrugA", "DrugB"])
+    assert n == 4
+    lines = p.read_text().strip().splitlines()
+    assert lines[1].startswith("PBS,DrugB")
+    assert lines[2].startswith("DrugA,PBS")
+    # idempotent on already-named columns
+    assert fix_csv_names(str(p), ["PBS", "DrugA", "DrugB"]) == 0
+
+
+def test_causal_report_dowhy_modes():
+    rng = np.random.default_rng(0)
+    m = {0: rng.standard_normal((40, 2)), 1: rng.standard_normal((40, 2)) + 1.0}
+    # "never" always works (self-contained path)
+    rows = CC.causal_validation_report(m, 0, 1, ["f0", "f1"], use_dowhy="never")
+    assert set(rows) == {"f0", "f1"}
+    # "require" must raise here (dowhy not installed in this environment)
+    try:
+        import dowhy  # noqa: F401
+        has_dowhy = True
+    except ImportError:
+        has_dowhy = False
+    if not has_dowhy:
+        with pytest.raises(ImportError):
+            CC.causal_validation_report(m, 0, 1, ["f0"], use_dowhy="require")
+    # "auto" falls back silently
+    rows = CC.causal_validation_report(m, 0, 1, ["f0"], use_dowhy="auto")
+    assert "effect" in rows["f0"]

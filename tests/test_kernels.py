@@ -59,6 +59,75 @@ def test_flash_attention_value(n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def _ref_dropout_attention(q, k, v, rate, seed):
+    """Host-side reference of the in-kernel dropout semantics: torch-style
+    dropout AFTER softmax, mask = the kernel's counter-based hash evaluated at
+    global coordinates (identical to the blockwise evaluation by construction)."""
+    b, h, n, d = q.shape
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / np.sqrt(d)
+    p = jax.nn.softmax(logits, axis=-1)
+    keeps = []
+    for bh in range(b * h):
+        bits = ka.dropout_keep(jnp.uint32(seed), bh, 0, 0, (n, n))
+        keeps.append(ka.keep_from_bits(bits, rate))
+    keep = jnp.stack(keeps).reshape(b, h, n, n)
+    p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+@pytest.mark.parametrize("n", [17, 241])
+def test_flash_attention_dropout_value(n):
+    rng = np.random.default_rng(5)
+    b, h, d, rate, seed = 1, 2, 32, 0.1, 1234
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    got = ka.flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed),
+        force_pallas=True,
+    )
+    want = _ref_dropout_attention(q, k, v, rate, seed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    # a different seed must change the output; rate=0 must match no-dropout
+    got2 = ka.flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed + 1),
+        force_pallas=True,
+    )
+    assert not np.allclose(np.asarray(got), np.asarray(got2))
+
+
+def test_flash_attention_dropout_grad():
+    rng = np.random.default_rng(6)
+    b, h, n, d, rate, seed = 1, 2, 40, 16, 0.25, 77
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def f_flash(q, k, v):
+        out = ka.flash_attention(
+            q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed),
+            force_pallas=True,
+        )
+        return jnp.sum(out**2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_ref_dropout_attention(q, k, v, rate, seed) ** 2)
+
+    g_f = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_dropout_keep_fraction():
+    # the hash must deliver ~Bernoulli(1-rate) keeps
+    bits = ka.dropout_keep(jnp.uint32(99), 3, 0, 0, (256, 256))
+    frac = float(jnp.mean(ka.keep_from_bits(bits, 0.1).astype(jnp.float32)))
+    assert abs(frac - 0.9) < 0.01, frac
+
+
 def test_flash_attention_grad():
     rng = np.random.default_rng(3)
     b, h, n, d = 1, 2, 40, 16

@@ -1,0 +1,101 @@
+"""Ragged k-fold validation: padded folds + masks must count every sample.
+
+VERDICT r1 weak-item 4: the driver used to truncate every fold's val set to
+the smallest fold's length, silently dropping samples from best-checkpoint
+gating and per-fold metrics. Now ragged folds are padded to the longest val
+set with a validity mask threaded through ``batch['w']`` and metrics are
+per-sample means — verified here against a plain per-fold host loop
+(ref vessel_analysis/01_train/train_kfold.py:85-115 validate semantics).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from causalvae_tpu.models.vae import CausalConvVAE
+from causalvae_tpu.ops import losses as L
+from causalvae_tpu.train import kfold as KF
+from causalvae_tpu.train.loop import make_vae_eval_step, make_vae_step
+
+pytestmark = pytest.mark.quick
+
+
+def _deterministic_loss(out, batch):
+    """Eval loss independent of the sampling rng (mu/m_hat are deterministic)."""
+    w = batch.get("w")
+    total = L.mse_sum(out.m_hat, batch["m"], w) + L.kld_sum(out.mu, out.logvar, w)
+    return total, {"loss": total}
+
+
+def test_ragged_val_folds_match_host_loop():
+    n, n_folds = 50, 3  # 50 % 3 != 0 -> ragged val sizes (17/17/16)
+    rng = np.random.default_rng(0)
+    data = {
+        "x": rng.random((n, 28, 28, 1)).astype(np.float32),
+        "m": rng.standard_normal((n, 12)).astype(np.float32),
+        "t": np.eye(10, dtype=np.float32)[rng.integers(0, 10, n)],
+    }
+    labels = data["t"].argmax(1)
+    model = CausalConvVAE(z_dim=4)
+
+    step = make_vae_step(model, _deterministic_loss, has_batch_stats=False,
+                         train_kw=False)
+    eval_step = make_vae_eval_step(model, _deterministic_loss,
+                                   has_batch_stats=False, train_kw=False)
+
+    def init_one(k):
+        return model.init({"params": k}, jnp.asarray(data["x"][:2]),
+                          jnp.asarray(data["m"][:2]), jnp.asarray(data["t"][:2]),
+                          rng=k)
+
+    states, plan, history = KF.train_kfold(
+        init_one=init_one, step_fn=step, eval_fn=eval_step, tx=optax.adam(1e-3),
+        data=data, labels=labels, epochs=1, batch_size=8, n_folds=n_folds, seed=0,
+    )
+    val_sizes = sorted(len(v) for v in plan.val_idx)
+    assert val_sizes[0] != val_sizes[-1], "fixture must produce ragged folds"
+
+    reported = history[-1]["val"]["loss"]
+    host_states = jax.device_get(states)
+    for f in range(n_folds):
+        idx = plan.val_idx[f]
+        st_f = jax.tree.map(lambda a: a[f], host_states)
+        batch = {k: jnp.asarray(v[idx]) for k, v in data.items()}
+        metrics = eval_step(st_f, batch, jax.random.PRNGKey(0))
+        expected = float(metrics["loss"]) / len(idx)
+        np.testing.assert_allclose(reported[f], expected, rtol=2e-5)
+
+
+def test_weighted_losses_drop_masked_samples():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((6, 5)).astype(np.float32)
+    b = rng.standard_normal((6, 5)).astype(np.float32)
+    w = np.array([1, 1, 1, 0, 0, 0], np.float32)
+    np.testing.assert_allclose(
+        float(L.mse_sum(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w))),
+        float(L.mse_sum(jnp.asarray(a[:3]), jnp.asarray(b[:3]))),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(L.kld_sum(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w))),
+        float(L.kld_sum(jnp.asarray(a[:3]), jnp.asarray(b[:3]))),
+        rtol=1e-6,
+    )
+    x = rng.random((4, 8, 8, 1)).astype(np.float32)
+    r = rng.random((4, 8, 8, 1)).astype(np.float32)
+    w2 = np.array([1, 1, 0, 0], np.float32)
+    got = L.vessel_recon_terms(jnp.asarray(r), jnp.asarray(x), jnp.asarray(w2))
+    want = L.vessel_recon_terms(jnp.asarray(r[:2]), jnp.asarray(x[:2]))
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(got[1]), float(want[1]), rtol=1e-6)
+    # bce on probabilities
+    p = rng.random((4, 8)).astype(np.float32) * 0.98 + 0.01
+    t = (rng.random((4, 8)) > 0.5).astype(np.float32)
+    np.testing.assert_allclose(
+        float(L.bce_sum(jnp.asarray(p), jnp.asarray(t), jnp.asarray(w2))),
+        float(L.bce_sum(jnp.asarray(p[:2]), jnp.asarray(t[:2]))),
+        rtol=1e-6,
+    )

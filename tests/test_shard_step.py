@@ -1,15 +1,25 @@
-"""Explicit shard_map DP step must reproduce the single-device update
-(mean-reduced loss; the pmean of per-shard means equals the global mean)."""
+"""Explicit shard_map DP step must reproduce the single-device update.
+
+Two reductions, each against the matching loss convention:
+- mean loss + loss_reduction="mean" (pmean of per-shard means == global mean)
+- the repo's real sum-reduced MNIST VAE loss + loss_reduction="sum" (psum of
+  per-shard sums == global sum -> identical parameter trajectory, VERDICT r1
+  weak-item 5)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from causalvae_tpu.models.heads import LatentDiscriminator
+from causalvae_tpu.models.vae import CausalConvVAE, VAEOutput
+from causalvae_tpu.ops import losses as L
 from causalvae_tpu.parallel.mesh import make_mesh
 from causalvae_tpu.parallel.shard_step import make_shard_map_step
 from causalvae_tpu.train.state import TrainState
+
+pytestmark = pytest.mark.quick
 
 
 def test_shard_map_step_matches_single_device():
@@ -41,7 +51,7 @@ def test_shard_map_step_matches_single_device():
 
     # explicit collectives over the 8-device mesh
     mesh = make_mesh()
-    step = make_shard_map_step(loss_fn, mesh)
+    step = make_shard_map_step(loss_fn, mesh, loss_reduction="mean")
     s8, l8 = step(fresh(), batch, key)
 
     np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
@@ -49,3 +59,59 @@ def test_shard_map_step_matches_single_device():
     # amplified slightly by Adam's rsqrt
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sum_reduction_matches_single_device_trajectory():
+    """shard_map step with loss_reduction='sum' + the repo's sum-reduced
+    mnist_vae_loss must walk the same parameter trajectory as a plain
+    single-device step on the full batch (3 Adam steps)."""
+    model = CausalConvVAE(z_dim=4)
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(1)
+    n = 32
+    batch = {
+        "x": rng.random((n, 28, 28, 1)).astype(np.float32),
+        "m": rng.standard_normal((n, 12)).astype(np.float32),
+        "t": np.eye(10, dtype=np.float32)[rng.integers(0, 10, n)],
+        # per-sample reparameterization noise carried WITH the batch so the
+        # sharded and single-device runs sample identical z
+        "eps": rng.standard_normal((n, 4)).astype(np.float32),
+    }
+    variables = model.init(
+        {"params": key}, jnp.asarray(batch["x"][:2]), jnp.asarray(batch["m"][:2]),
+        jnp.asarray(batch["t"][:2]), rng=key,
+    )
+
+    def loss_fn(params, b, rng_):
+        mu, logvar = model.apply(
+            {"params": params}, b["x"], b["m"], b["t"], method=model.encode
+        )
+        z = mu + jnp.exp(0.5 * logvar) * b["eps"]
+        m_hat = model.apply({"params": params}, b["t"], method=model.predict_m)
+        recon = model.apply({"params": params}, m_hat, z, method=model.decode)
+        out = VAEOutput(recon, m_hat, mu, logvar, None, None)
+        total, _ = L.mnist_vae_loss(
+            out, b["x"], b["m"], jnp.zeros((mu.shape[0], 10)), lambda_adv=0.0
+        )
+        return total
+
+    def fresh():
+        copy = jax.tree.map(lambda a: jnp.array(a, copy=True), variables)
+        return TrainState.create(copy, optax.adam(1e-3))
+
+    @jax.jit
+    def ref_step(state, b, rng_):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, b, rng_)
+        return state.apply_gradients(grads), loss
+
+    mesh = make_mesh()
+    step = make_shard_map_step(loss_fn, mesh, loss_reduction="sum")
+
+    s1, s8 = fresh(), fresh()
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for i in range(3):
+        s1, l1 = ref_step(s1, jbatch, key)
+        s8, l8 = step(s8, batch, key)
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
