@@ -8,11 +8,18 @@ chip).
 
 Baseline: the same training step implemented in PyTorch (the reference's
 framework) on the same host, written here independently from the reference's
-hyperparameters — torch has no TPU backend, so this is the honest "what the
-reference stack delivers on this machine" number. BASELINE.json's north-star
-target is >10x images/sec/chip.
+hyperparameters — **torch-cpu**: no CUDA device exists on this host and torch
+has no TPU backend, so this is the honest "what the reference stack delivers
+on this machine" number (recorded in the JSON as ``baseline_hw``).
+BASELINE.json's north-star target is >10x images/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the FLAGSHIP workload — the vessel CausalViTVAE full train step
+at the reference's production config (768x1280, batch 8; ref
+vessel_analysis/00_core/config.py:9-23) — in f32 and bf16, with XLA cost
+analysis for FLOPs/bytes per step -> MFU and %-of-HBM-roofline on a v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"baseline_hw", "flagship": {...}}.
 """
 
 from __future__ import annotations
@@ -25,12 +32,101 @@ WARMUP = 5
 STEPS = 500
 TORCH_STEPS = 8
 
+FLAGSHIP_BATCH = 8
+FLAGSHIP_HW = (768, 1280)
+FLAGSHIP_STEPS = 10
+# TPU v5e single chip: peak dense matmul throughput and HBM bandwidth
+V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 49e12}
+V5E_HBM_BW = 819e9  # bytes/sec
+
+
+def bench_flagship(dtype_name: str) -> dict:
+    """Full vessel train step (ELBO with dynamic pos_weight + sparsity +
+    Gaussian-NLL, BatchNorm mutation, in-kernel attention dropout, grad-clip,
+    Adam) at 768x1280 batch 8 — ms/step, images/sec/chip, MFU, HBM roofline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.ops import losses as L
+    from causalvae_tpu.train.loop import make_vae_step
+    from causalvae_tpu.train.state import TrainState
+
+    cfg = VesselConfig()
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = CausalViTVAE(img_size=FLAGSHIP_HW, m_dim=12, t_dim=19,
+                         z_dim=cfg.z_dim, dtype=dtype)
+
+    def loss_fn(out, batch):
+        return L.vessel_loss(out, batch["x"], batch["m"], beta=cfg.beta,
+                             lambda_morph=cfg.lambda_morph,
+                             lambda_sparsity=cfg.lambda_sparsity)
+
+    step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((FLAGSHIP_BATCH, *FLAGSHIP_HW, 1)) > 0.9)
+                    .astype(np.float32))
+    m = jnp.asarray(rng.standard_normal((FLAGSHIP_BATCH, 12)).astype(np.float32))
+    t = jnp.asarray(np.eye(19, dtype=np.float32)[rng.integers(0, 19, FLAGSHIP_BATCH)])
+    batch = {"x": x, "m": m, "t": t}
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x[:1], m[:1], t[:1],
+                           rng=key, train=True)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                     optax.adam(cfg.lr))
+    state = TrainState.create(variables, tx)
+
+    jstep = jax.jit(step, donate_argnums=0)
+    # one compile: time the compiled executable itself (the jit dispatch
+    # cache is not shared with .lower(), so calling jstep would recompile)
+    compiled = jstep.lower(state, batch, key).compile()
+    ca = compiled.cost_analysis()
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    state, metrics = compiled(state, batch, key)
+    float(np.asarray(metrics["loss"]))  # device fetch = reliable barrier
+    t0 = time.perf_counter()
+    for i in range(FLAGSHIP_STEPS):
+        state, metrics = compiled(state, batch, jax.random.fold_in(key, i))
+    float(np.asarray(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / FLAGSHIP_STEPS
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "images_per_sec_per_chip": round(FLAGSHIP_BATCH / dt, 2),
+        "flops_per_step": flops,
+        "bytes_per_step": bytes_acc,
+        "mfu": round(flops / dt / V5E_PEAK_FLOPS[dtype_name], 4),
+        "hbm_roofline_frac": round(bytes_acc / dt / V5E_HBM_BW, 4),
+    }
+
+
+def _enable_compile_cache():
+    """Persistent executable cache — the 768x1280 flagship step costs ~15 min
+    of (remote) compile cold; cached reruns skip it."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
 
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
+
+    _enable_compile_cache()
 
     from causalvae_tpu.config import MnistConfig
     from causalvae_tpu.models.heads import LatentDiscriminator
@@ -166,6 +262,12 @@ def main():
     except Exception:
         torch_ips = float("nan")
     vs = jax_ips / torch_ips if torch_ips == torch_ips else None
+    flagship = {"workload": "vessel_causal_vit_vae_768x1280_batch8_train_step"}
+    for dtype_name in ("float32", "bfloat16"):
+        try:
+            flagship[dtype_name] = bench_flagship(dtype_name)
+        except Exception as e:  # never let the flagship kill the headline line
+            flagship[dtype_name] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(
         json.dumps(
             {
@@ -173,6 +275,8 @@ def main():
                 "value": round(jax_ips, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "baseline_hw": "torch-cpu (no CUDA on host; torch has no TPU backend)",
+                "flagship": flagship,
             }
         )
     )

@@ -63,7 +63,12 @@ def cmd_train(args):
 
         cfg = VesselConfig(epochs=args.epochs or 150,
                            batch_size=args.batch_size or 8)
-        hw = (96, 160) if corpus.raw_images is not None else (cfg.img_height, cfg.img_width)
+        if getattr(args, "img_hw", None):
+            hw = tuple(args.img_hw)
+        elif corpus.raw_images is not None:
+            hw = (96, 160)
+        else:
+            hw = (cfg.img_height, cfg.img_width)
         W.train_vessel(corpus, cfg, img_hw=hw, run_dir=run_dir, resume=args.resume)
     elif args.workload == "cvae":
         ds = _mnist_dataset(args)
@@ -462,6 +467,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int)
     t.add_argument("--data"), t.add_argument("--csv")
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"),
+                   help="vessel training resolution override "
+                        "(default: reference 768x1280 for file-backed corpora)")
     t.set_defaults(fn=cmd_train)
 
     k = sub.add_parser("kfold")

@@ -36,7 +36,7 @@ def load_idx(path: str) -> np.ndarray:
             raise ValueError(f"bad IDX magic in {path}")
         dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
         dtype = {8: np.uint8, 9: np.int8, 11: np.int16, 12: np.int32, 13: np.float32, 14: np.float64}[dtype_code]
-        data = np.frombuffer(f.read(), dtype=dtype.newbyteorder(">"))
+        data = np.frombuffer(f.read(), dtype=np.dtype(dtype).newbyteorder(">"))
         return data.reshape(dims)
 
 

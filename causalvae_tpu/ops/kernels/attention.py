@@ -128,7 +128,7 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         out = out / (1.0 - rate)
     o_ref[0] = out.astype(o_ref.dtype)
     lse = jnp.where(valid, m_fin + jnp.log(jnp.where(valid, l_fin, 1.0)), LSE_PAD)
-    lse_ref[0] = lse[:, 0]
+    lse_ref[0] = lse  # (BLOCK_Q, 1)
 
 
 # --------------------------------------------------------------------------
@@ -147,7 +147,7 @@ def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]  # (BLOCK_Q, 1)
+    lse = lse_ref[0]  # (BLOCK_Q, 1)
     delta = jnp.sum(do * o, axis=1, keepdims=True)  # rowsum(dO ∘ O)
     n_kblocks = k_ref.shape[1] // BLOCK_K
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
@@ -198,7 +198,7 @@ def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         qs = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
         dos = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
         os_ = o_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q)][:, None]
+        lse = lse_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]  # (BLOCK_Q, 1)
         s = scale * jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -259,11 +259,11 @@ def _fwd_call(q, k, v, meta, scale: float, rate: float):
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_pad, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_pad * n_pad * d,
@@ -292,7 +292,7 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), blk, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
@@ -313,7 +313,7 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
             pl.BlockSpec((1, BLOCK_K, d), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 1), full, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_K, d), blk, memory_space=pltpu.VMEM),

@@ -113,6 +113,7 @@ def _generic_train(
     batch_size_of: Callable[[Dict], int],
     init_kwargs: Optional[Dict] = None,
     artifact_cb: Optional[Callable[[int, TrainState], None]] = None,
+    scan_steps: int = 0,
 ):
     key = jax.random.PRNGKey(seed)
     variables = model.init(
@@ -125,6 +126,13 @@ def _generic_train(
     state = TrainState.create(variables, tx)
     jstep = jax.jit(step)
     jeval = jax.jit(eval_step) if eval_step else None
+    trainer = None
+    if scan_steps > 0:
+        # device-resident loop: scan_steps optimizer steps per XLA dispatch
+        # (see train/scan_loop.py — hides per-step host/RPC dispatch latency)
+        from causalvae_tpu.train.scan_loop import ScanTrainer
+
+        trainer = ScanTrainer(step, n_states=1, steps_per_dispatch=scan_steps)
 
     book = CheckpointBook(run_dir, period=period) if run_dir else None
     start_epoch = 0
@@ -135,10 +143,24 @@ def _generic_train(
     timer = StepTimer()
     for epoch in range(start_epoch, epochs):
         metrics = None
-        for batch in train_iter(epoch):
+        if trainer is not None:
             key, sub = jax.random.split(key)
-            state, metrics = jstep(state, _to_device(batch), sub)
-            timer.tick(batch_size_of(batch))
+            n = 0
+
+            def counted(it):
+                nonlocal n
+                for b in it:
+                    n += batch_size_of(b)
+                    yield _to_device(b)
+
+            (state,), metrics = trainer.run_epoch(
+                (state,), counted(train_iter(epoch)), sub)
+            timer.tick(n)
+        else:
+            for batch in train_iter(epoch):
+                key, sub = jax.random.split(key)
+                state, metrics = jstep(state, _to_device(batch), sub)
+                timer.tick(batch_size_of(batch))
         logger.log(epoch, metrics, prefix="train_")
         logger.print_epoch(epoch, metrics)
         val_loss = None
@@ -169,10 +191,14 @@ def train_vessel(
     resume: bool = False,
     pretrained_backbone: Optional[dict] = None,
     period: int = 50,
+    scan_steps: int = 0,
 ):
     """Vessel CausalViTVAE training with the weighted/sparsity/NLL objective
     (T2/T3, ref vessel_analysis/01_train/train.py:100-203). ``period`` sets
-    the periodic-checkpoint + sample-recon-PNG cadence (ref: every 50)."""
+    the periodic-checkpoint + sample-recon-PNG cadence (ref: every 50).
+    ``scan_steps`` > 0 runs the epoch through the scanned device-resident loop
+    (scan_steps optimizer steps per dispatch — hides host dispatch latency,
+    the production configuration on TPU)."""
     from causalvae_tpu.data.vessel import iterate_batches
 
     img_hw = img_hw or (cfg.img_height, cfg.img_width)
@@ -222,6 +248,7 @@ def train_vessel(
         batch_size_of=lambda b: len(b["m"]),
         init_kwargs={"train": True},
         artifact_cb=artifact_cb,
+        scan_steps=scan_steps,
     )
     return model, state, logger
 

@@ -14,9 +14,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def vessel_evidence(args):
@@ -85,6 +88,151 @@ def vessel_evidence(args):
     }
 
 
+def phase2_evidence(args):
+    """Measurement-approach + mediation evidence on trained models (VERDICT r1
+    item 6): train the 16-feature causal VAE and a CVAE, run the Phase-2
+    on-device re-measurement (A5, ref mnist_test/03_measurement_approach/
+    analyze_counterfactual.py:93-102 and analyze_cvae.py:129-146), the
+    Phase-1-vs-2 comparison (A6) and the Monte-Carlo mediation decomposition
+    (I7, ref analyze_mediation.py:120-201) for the reference's 1->7 / 1->8
+    digit pairs."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from causalvae_tpu.analysis.importance import (
+        compare_phases, pairwise_cohens_d, phase2_importance,
+    )
+    from causalvae_tpu.analysis.mechanism import phase1_importance
+    from causalvae_tpu.config import FEATURE_NAMES_16, MnistConfig
+    from causalvae_tpu.data.mnist import build_morph_mnist, synthetic_mnist
+    from causalvae_tpu.models.heads import LatentDiscriminator
+    from causalvae_tpu.models.vae import CausalConvVAE
+    from causalvae_tpu.scm.intervene import abduct, decode, mediation_contributions, predict_m
+    from causalvae_tpu.train.loop import make_mnist_adversarial_step
+    from causalvae_tpu.train.scan_loop import ScanTrainer
+    from causalvae_tpu.train.state import TrainState
+    from causalvae_tpu.train.workloads import train_cvae
+
+    t0 = time.time()
+
+    def log(s):
+        print(f"[{time.time() - t0:6.1f}s] [phase2] {s}", flush=True)
+
+    names = list(FEATURE_NAMES_16)
+    cfg = MnistConfig(m_dim=16)
+    log(f"devices: {__import__('jax').devices()}")
+    images, labels = synthetic_mnist(args.n, seed=42)
+    ds = build_morph_mnist(images, labels, n_features=16)
+    log(f"16-feature corpus {ds.x.shape} (device-precomputed morphology)")
+
+    # --- train the 16-feature adversarial causal VAE (C1 at m_dim=16) ------
+    vae = CausalConvVAE(m_dim=16, t_dim=cfg.t_dim, z_dim=cfg.z_dim)
+    disc = LatentDiscriminator(t_dim=cfg.t_dim)
+    key = jax.random.PRNGKey(cfg.seed)
+    b2 = (jnp.asarray(ds.x[:2]), jnp.asarray(ds.m[:2]), jnp.asarray(ds.t[:2]))
+    vae_vars = vae.init({"params": key}, *b2, rng=key)
+    d_vars = disc.init(key, jnp.zeros((2, cfg.z_dim)))
+    states = (TrainState.create(vae_vars, optax.adam(cfg.lr)),
+              TrainState.create(d_vars, optax.adam(cfg.lr)))
+    trainer = ScanTrainer(make_mnist_adversarial_step(vae, disc, cfg),
+                          n_states=2, steps_per_dispatch=16)
+    rng = np.random.default_rng(cfg.seed)
+    last = None
+    for epoch in range(args.epochs):
+        key, sub = jax.random.split(key)
+        states, metrics = trainer.run_epoch(states, ds.batches(cfg.batch_size, rng), sub)
+        if metrics:
+            last = {k: float(v) for k, v in metrics.items()}
+    variables = {"params": states[0].params}
+    log(f"causal VAE trained {args.epochs} epochs; final loss {last['loss']:.0f}")
+
+    # --- A4 phase 1: mechanism sensitivity ---------------------------------
+    p1 = phase1_importance(vae, variables, cfg.t_dim, names)
+    log(f"A4 phase-1 top: {p1['ranking'][:5]}")
+
+    # --- A5 phase 2: generate counterfactuals, re-measure ON DEVICE --------
+    n_z = 100  # fixed z pool (ref analyze_counterfactual.py:40 uses 100)
+    xte = jnp.asarray(ds.x[-n_z:])
+    mte = jnp.asarray(ds.m[-n_z:])
+    tte = jnp.asarray(ds.t[-n_z:])
+    z_pool = abduct(vae, variables, xte, mte, tte)
+
+    def decode_fn(t_eye, z):
+        m_hats = predict_m(vae, variables, t_eye)  # (T, m)
+
+        def per_t(m_hat):
+            mt = jnp.broadcast_to(m_hat[None], (z.shape[0], m_hat.shape[0]))
+            return decode(vae, variables, mt, z)
+
+        return jax.vmap(per_t)(m_hats)  # (T, S, H, W, 1)
+
+    p2 = phase2_importance(decode_fn, z_pool, cfg.t_dim,
+                           n_features=16, feature_names=names)
+    log(f"A5 phase-2 (on-device re-measured) top: {p2['ranking'][:5]}")
+
+    cmp = compare_phases(p1, p2, names)
+    log(f"A6 phase rank correlation: {cmp['rank_correlation']:.3f}")
+
+    # --- CVAE variant (C5) + 1-vs-7 Cohen's d (ref analyze_cvae) -----------
+    cvae, cvae_state, _ = train_cvae(ds, t_dim=cfg.t_dim, z_dim=cfg.z_dim,
+                                     epochs=max(args.epochs // 2, 5),
+                                     batch_size=cfg.batch_size)
+    cv = {"params": cvae_state.params}
+    zs = jax.random.normal(jax.random.PRNGKey(7), (n_z, cfg.z_dim))
+
+    def cvae_decode_fn(t_eye, z):
+        def per_t(t_row):
+            tb = jnp.broadcast_to(t_row[None], (z.shape[0], t_row.shape[0]))
+            return cvae.apply(cv, z, tb, method=cvae.decode)
+
+        return jax.vmap(per_t)(t_eye)
+
+    p2c = phase2_importance(cvae_decode_fn, zs, cfg.t_dim,
+                            n_features=16, feature_names=names)
+    d17 = pairwise_cohens_d(np.asarray(p2c["features"][1]),
+                            np.asarray(p2c["features"][7]), names)
+    log(f"A5/CVAE top: {p2c['ranking'][:5]}; 1-vs-7 Cohen's d top: {d17['ranking'][:3]}")
+
+    # --- I7 mediation for the reference's digit pairs ----------------------
+    med = {}
+    for (a, b) in ((1, 7), (1, 8)):
+        ia = np.nonzero(ds.labels == a)[0][:40]
+        ib = np.nonzero(ds.labels == b)[0][:40]
+        za = abduct(vae, variables, jnp.asarray(ds.x[ia]), jnp.asarray(ds.m[ia]),
+                    jnp.asarray(ds.t[ia]))
+        zb = abduct(vae, variables, jnp.asarray(ds.x[ib]), jnp.asarray(ds.m[ib]),
+                    jnp.asarray(ds.t[ib]))
+        t_eye = jnp.eye(cfg.t_dim, dtype=jnp.float32)
+        m_ab = predict_m(vae, variables, t_eye)
+        res = mediation_contributions(vae, variables, m_ab[a], m_ab[b], za, zb,
+                                      jax.random.PRNGKey(0), n_mc=50)
+        fpct = np.asarray(res["feature_contribution_pct"]).mean(axis=0)
+        top_f = int(np.argmax(fpct))
+        med[f"{a}to{b}"] = {
+            "m_pct_mean": float(np.asarray(res["m_contribution_pct"]).mean()),
+            "m_pct_std": float(np.asarray(res["m_contribution_pct"]).std()),
+            "z_pct_mean": float(np.asarray(res["z_contribution_pct"]).mean()),
+            "z_pct_std": float(np.asarray(res["z_contribution_pct"]).std()),
+            "top_feature": names[top_f],
+            "top_feature_pct": float(fpct[top_f]),
+        }
+        log(f"I7 {a}->{b}: M {med[f'{a}to{b}']['m_pct_mean']:.1f}%"
+            f"±{med[f'{a}to{b}']['m_pct_std']:.1f}, Z "
+            f"{med[f'{a}to{b}']['z_pct_mean']:.1f}%"
+            f"±{med[f'{a}to{b}']['z_pct_std']:.1f}, top {med[f'{a}to{b}']['top_feature']}")
+
+    return {
+        "n_images": args.n, "epochs": args.epochs,
+        "phase1_top": p1["ranking"][:5],
+        "phase2_top": p2["ranking"][:5],
+        "phase2_cvae_top": p2c["ranking"][:5],
+        "phase_rank_correlation": cmp["rank_correlation"],
+        "cohens_d_1v7_top": d17["ranking"][:5],
+        "mediation": med,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
@@ -92,8 +240,18 @@ def main():
     ap.add_argument("--vessel", action="store_true")
     ap.add_argument("--vessel-only", action="store_true")
     ap.add_argument("--vessel-epochs", type=int, default=30)
+    ap.add_argument("--phase2", action="store_true",
+                    help="measurement-approach + mediation evidence only")
     ap.add_argument("--out", default="results/evidence")
     args = ap.parse_args()
+
+    if args.phase2:
+        os.makedirs(args.out, exist_ok=True)
+        report = phase2_evidence(args)
+        with open(os.path.join(args.out, "evidence_phase2.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report, indent=1), flush=True)
+        return
 
     if args.vessel_only:
         os.makedirs(args.out, exist_ok=True)

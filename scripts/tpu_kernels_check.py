@@ -1,0 +1,93 @@
+"""Validate the Pallas kernels on REAL TPU hardware (values + gradients).
+
+Checks, each vs its unfused XLA formulation:
+1. flash attention, no dropout (fwd + dq/dk/dv)
+2. flash attention WITH in-kernel hash dropout (fwd + grads, vs an exact
+   host-side reference of the same counter-based mask)
+3. fused vessel ELBO reduction (value + grad)
+
+Run: python -u scratch/tpu_kernels_check.py   (expects a TPU backend)
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from causalvae_tpu.ops.kernels import attention as ka
+from causalvae_tpu.ops.kernels import elbo as ke
+
+
+def check(name, got, want, rtol=2e-3, atol=2e-3):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    err = np.max(np.abs(got - want) / (np.abs(want) + 1.0))
+    ok = err < rtol + atol
+    print(f"{'OK ' if ok else 'FAIL'} {name}: max rel err {err:.2e}")
+    return ok
+
+
+def ref_dropout_attention(q, k, v, rate, seed):
+    b, h, n, d = q.shape
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / np.sqrt(d)
+    p = jax.nn.softmax(logits, axis=-1)
+    keeps = [
+        ka.keep_from_bits(ka.dropout_keep(jnp.uint32(seed), bh, 0, 0, (n, n)), rate)
+        for bh in range(b * h)
+    ]
+    keep = jnp.stack(keeps).reshape(b, h, n, n)
+    p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def main() -> int:
+    print("devices:", jax.devices())
+    assert jax.default_backend() == "tpu", "this check must run on TPU"
+    rng = np.random.default_rng(0)
+    b, h, n, d = 2, 8, 961, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+               for _ in range(3))
+    ok = True
+
+    # 1. no-dropout values + grads
+    f = jax.jit(lambda q, k, v: ka.flash_attention(q, k, v))
+    x = jax.jit(lambda q, k, v: ka._xla_attention(q, k, v, 1.0 / np.sqrt(d)))
+    ok &= check("flash fwd", f(q, k, v), x(q, k, v))
+    gf = jax.jit(jax.grad(lambda *a: jnp.sum(f(*a) ** 2), argnums=(0, 1, 2)))
+    gx = jax.jit(jax.grad(lambda *a: jnp.sum(x(*a) ** 2), argnums=(0, 1, 2)))
+    for name_, a_, b_ in zip(("dq", "dk", "dv"), gf(q, k, v), gx(q, k, v)):
+        ok &= check(f"flash {name_}", a_, b_)
+
+    # 2. dropout values + grads vs exact mask reference
+    rate, seed = 0.1, 1234
+    fd = jax.jit(lambda q, k, v: ka.flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed)))
+    rd = jax.jit(lambda q, k, v: ref_dropout_attention(q, k, v, rate, seed))
+    ok &= check("flash+dropout fwd", fd(q, k, v), rd(q, k, v))
+    gfd = jax.jit(jax.grad(lambda *a: jnp.sum(fd(*a) ** 2), argnums=(0, 1, 2)))
+    grd = jax.jit(jax.grad(lambda *a: jnp.sum(rd(*a) ** 2), argnums=(0, 1, 2)))
+    for name_, a_, b_ in zip(("dq", "dk", "dv"), gfd(q, k, v), grd(q, k, v)):
+        ok &= check(f"flash+dropout {name_}", a_, b_)
+
+    # 3. fused vessel ELBO reduction
+    x_img = jnp.asarray((rng.random((4, 192, 320, 1)) > 0.85).astype(np.float32))
+    recon = jnp.asarray(rng.random((4, 192, 320, 1)).astype(np.float32))
+    rl_f, sp_f = jax.jit(lambda r: ke.vessel_recon_terms_fused(r, x_img))(recon)
+    rl_r, sp_r = jax.jit(lambda r: ke.reference_terms(r, x_img))(recon)
+    ok &= check("elbo recon", rl_f, rl_r, rtol=1e-4)
+    ok &= check("elbo sparsity", sp_f, sp_r, rtol=1e-4)
+    g_f = jax.jit(jax.grad(
+        lambda r: sum(ke.vessel_recon_terms_fused(r, x_img))))(recon)
+    g_r = jax.jit(jax.grad(lambda r: sum(ke.reference_terms(r, x_img))))(recon)
+    ok &= check("elbo grad", g_f, g_r, rtol=1e-4)
+
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

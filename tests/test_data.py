@@ -107,6 +107,7 @@ def test_cascade_min_max_normalization():
     assert c.m.min() >= 0.0 and c.m.max() <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_scan_corpus_and_file_backed_kfold(tmp_path):
     """File-backed path end-to-end: scan_corpus (CSV x tiff matching) feeds
     the CLI kfold trainer, which must decode from disk (raw_images=None)."""

@@ -20,9 +20,6 @@ from causalvae_tpu.ops import losses as L
 from causalvae_tpu.train import kfold as KF
 from causalvae_tpu.train.loop import make_vae_eval_step, make_vae_step
 
-pytestmark = pytest.mark.quick
-
-
 def _deterministic_loss(out, batch):
     """Eval loss independent of the sampling rng (mu/m_hat are deterministic)."""
     w = batch.get("w")
@@ -30,6 +27,7 @@ def _deterministic_loss(out, batch):
     return total, {"loss": total}
 
 
+@pytest.mark.slow
 def test_ragged_val_folds_match_host_loop():
     n, n_folds = 50, 3  # 50 % 3 != 0 -> ragged val sizes (17/17/16)
     rng = np.random.default_rng(0)

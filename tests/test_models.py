@@ -73,6 +73,7 @@ def test_heads_shapes():
     np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vessel_vae_shapes_tiny():
     # tiny 128x128-equivalent: grid (1, 1) -> input 128x128
     model = M.CausalVesselVAE(z_dim=16, grid_hw=(1, 1))
@@ -102,6 +103,7 @@ def test_cascade_vae_shapes():
     assert out.m_hat.shape == (2, 12)
 
 
+@pytest.mark.slow
 def test_vit_vae_shapes_tiny():
     model = M.ViTVAE(img_size=(64, 64), latent_dim=32, embed_dim=64, depth=2, mlp_dim=128)
     x = jnp.zeros((2, 64, 64, 1))

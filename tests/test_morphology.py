@@ -96,6 +96,7 @@ def test_convex_area_parity(images):
         assert got == pytest.approx(want, abs=1.0), (got, want)
 
 
+@pytest.mark.slow
 def test_skeleton_parity(images):
     for im in images:
         got = np.asarray(dev.skeletonize(jnp.asarray(im) > 0.2))

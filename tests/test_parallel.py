@@ -41,6 +41,7 @@ def test_pad_to_multiple():
     np.testing.assert_array_equal(padded["x"][13:], 0.0)
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """One adversarial train step, batch sharded over 8 devices, must equal
     the unsharded step (same rngs): XLA's psum of per-shard grads is just a
@@ -83,6 +84,7 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batchnorm_stats_global_under_dp():
     """SURVEY.md §7 hard part: BatchNorm under data parallelism. Under jit
     with a sharded batch, GSPMD computes batch stats over the full logical

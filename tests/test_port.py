@@ -17,6 +17,9 @@ import torch.nn as nn  # noqa: E402
 from causalvae_tpu.models.vit import ViTVAE  # noqa: E402
 from causalvae_tpu.train.port_maps import port_vitvae_checkpoint  # noqa: E402
 
+# module-scope torch fixture costs ~30s of setup -> slow tier
+pytestmark = pytest.mark.slow
+
 EMBED, DEPTH, HEADS, MLP, LATENT = 32, 2, 4, 64, 16
 IMG = (64, 64)  # grid 2x2
 

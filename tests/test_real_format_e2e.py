@@ -1,0 +1,120 @@
+"""Real-file-format ingestion, end to end through the CLI (VERDICT r1 item 7).
+
+Generates a tiny on-disk corpus in the reference's actual formats —
+big-endian IDX files (the MNIST distribution format) and uncompressed
+float32 ``*.vessel.mip.tiff`` + a CSV with the exact 12 feature column names
+(ref vessel_analysis/00_core/dataset.py:48-73, 228-237) — then drives
+``causalvae train mnist``, ``causalvae train vessel`` and
+``causalvae vessel-report`` on the files, with the native C++ decode pipeline
+engaged for the vessel paths when built.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from causalvae_tpu.cli.main import main
+from causalvae_tpu.data.vessel import FEATURE_COLUMNS
+from tests.conftest import synthetic_digits
+from tests.test_native import _write_tiff_f32
+
+pytestmark = pytest.mark.slow
+
+
+def _write_idx_images(path: str, images_u8: np.ndarray) -> None:
+    n, h, w = images_u8.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 8, 3))  # uint8, 3 dims
+        f.write(struct.pack(">III", n, h, w))
+        f.write(images_u8.tobytes())
+
+
+def _write_idx_labels(path: str, labels_u8: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 8, 1))
+        f.write(struct.pack(">I", len(labels_u8)))
+        f.write(labels_u8.tobytes())
+
+
+def _write_vessel_corpus(root, n_per_group=6, groups=("PBS", "DrugA", "DrugB"),
+                         hw=(96, 160), seed=3):
+    """Tiffs named like the reference's ID convention + matching CSV rows."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    img_id = 500000
+    for g_i, g in enumerate(groups):
+        for _ in range(n_per_group):
+            img_id += 1
+            arr = (rng.random(hw) > 0.85).astype(np.float32) * rng.uniform(0.5, 3.0)
+            _write_tiff_f32(str(root / f"H11-{img_id}.vessel.mip.tiff"), arr)
+            feats = rng.uniform(1.0, 100.0, len(FEATURE_COLUMNS)) + 10.0 * g_i
+            rows.append((img_id, g, feats))
+    header = "Image ID,group_name," + ",".join(
+        f'"{c}"' if "," in c else c for c in FEATURE_COLUMNS
+    )
+    lines = [header]
+    for img_id, g, feats in rows:
+        lines.append(f"{img_id},{g}," + ",".join(f"{v:.4f}" for v in feats))
+    csv = root / "vessel_meta.csv"
+    csv.write_text("\n".join(lines) + "\n")
+    return csv
+
+
+def test_idx_files_drive_mnist_training(tmp_path):
+    imgs = (synthetic_digits(48, seed=11) * 255).astype(np.uint8)
+    labels = np.random.default_rng(0).integers(0, 10, 48).astype(np.uint8)
+    _write_idx_images(str(tmp_path / "train-images-idx3-ubyte"), imgs)
+    _write_idx_labels(str(tmp_path / "train-labels-idx1-ubyte"), labels)
+
+    out = tmp_path / "out"
+    main(["--out", str(out), "train", "mnist", "--data", str(tmp_path),
+          "--epochs", "1", "--batch-size", "16"])
+    assert os.path.isdir(out / "train_mnist" / "latest")
+
+
+def test_tiff_csv_drive_vessel_training_and_report(tmp_path):
+    csv = _write_vessel_corpus(tmp_path)
+    out = tmp_path / "out"
+
+    # file -> decode -> train (native C++ loader engages when built)
+    main(["--out", str(out), "train", "vessel", "--data", str(tmp_path),
+          "--csv", str(csv), "--epochs", "1", "--batch-size", "4",
+          "--img-hw", "64", "96"])
+    assert os.path.isdir(out / "train_vessel" / "latest")
+
+    # full uncertainty -> SNR artifact chain on the same files
+    main(["--out", str(out), "vessel-report", "--data", str(tmp_path),
+          "--csv", str(csv), "--epochs", "1", "--folds", "2",
+          "--batch-size", "4", "--img-hw", "64", "96"])
+    for artifact in ("predictions_by_treatment.csv",
+                     "uncertainty_by_treatment.csv",
+                     "feature_stats.csv", "pairwise_snr.csv",
+                     "all_pairwise_report.csv", "significant_changes.csv"):
+        path = out / artifact
+        assert path.exists(), artifact
+        assert path.stat().st_size > 0, artifact
+    # pairwise report must carry real group names, not indices
+    text = (out / "all_pairwise_report.csv").read_text()
+    assert "DrugA" in text and "PBS" in text
+
+
+def test_native_loader_feeds_vessel_batches(tmp_path):
+    from causalvae_tpu import native
+    from causalvae_tpu.data.vessel import iterate_batches, scan_corpus
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    csv = _write_vessel_corpus(tmp_path)
+    corpus = scan_corpus(str(csv), str(tmp_path))
+    assert corpus.raw_images is None  # genuinely file-backed
+    b_native = next(iterate_batches(corpus, "train", 4, (64, 96),
+                                    shuffle_seed=0, use_native=True))
+    b_python = next(iterate_batches(corpus, "train", 4, (64, 96),
+                                    shuffle_seed=0, use_native=False))
+    assert b_native["x"].shape == (4, 64, 96, 1)
+    np.testing.assert_allclose(
+        np.asarray(b_native["x"]), np.asarray(b_python["x"]), atol=2e-2
+    )
+    np.testing.assert_array_equal(np.asarray(b_native["m"]), np.asarray(b_python["m"]))

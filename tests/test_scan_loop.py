@@ -46,6 +46,7 @@ def setup():
     return step, fresh_states, batches
 
 
+@pytest.mark.slow
 def test_scan_epoch_matches_python_loop(setup):
     step, fresh_states, batches = setup
     rngs = jax.random.split(jax.random.PRNGKey(7), 4)
@@ -68,6 +69,7 @@ def test_scan_epoch_matches_python_loop(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_scan_trainer_consumes_iterator(setup):
     step, fresh_states, batches = setup
     trainer = ScanTrainer(step, n_states=2, steps_per_dispatch=3)
@@ -87,6 +89,7 @@ def test_chunked():
     assert list(chunked(iter([]), 3)) == []
 
 
+@pytest.mark.slow
 def test_train_mnist_scan_steps():
     """train_mnist(scan_steps=N) drives the scanned loop end-to-end."""
     from causalvae_tpu.config import MnistConfig

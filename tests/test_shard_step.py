@@ -19,9 +19,6 @@ from causalvae_tpu.parallel.mesh import make_mesh
 from causalvae_tpu.parallel.shard_step import make_shard_map_step
 from causalvae_tpu.train.state import TrainState
 
-pytestmark = pytest.mark.quick
-
-
 def test_shard_map_step_matches_single_device():
     model = LatentDiscriminator(t_dim=10)
     key = jax.random.PRNGKey(0)
@@ -61,6 +58,7 @@ def test_shard_map_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sum_reduction_matches_single_device_trajectory():
     """shard_map step with loss_reduction='sum' + the repo's sum-reduced
     mnist_vae_loss must walk the same parameter trajectory as a plain

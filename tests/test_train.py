@@ -33,6 +33,7 @@ def _tiny_model_and_step():
     return model, step
 
 
+@pytest.mark.slow
 def test_kfold_parallel_driver_runs_and_descends():
     n = 80
     rng = np.random.default_rng(0)

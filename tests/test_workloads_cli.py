@@ -38,6 +38,7 @@ def test_train_cvae_one_epoch(mnist_ds):
     assert any(np.isfinite(r.get("train_loss", np.nan)) for r in logger.history)
 
 
+@pytest.mark.slow
 def test_train_vit_vae_and_extract(mnist_ds):
     from causalvae_tpu.models.vit import ViTVAE
     from causalvae_tpu.train.workloads import extract_vit_latents, train_vit_vae
@@ -58,6 +59,7 @@ def test_train_vit_vae_and_extract(mnist_ds):
     assert np.isfinite(z).all()
 
 
+@pytest.mark.slow
 def test_train_cascade_one_epoch():
     from causalvae_tpu.data.cascade import synthetic_cascade_corpus
     from causalvae_tpu.train.workloads import train_cascade
@@ -77,6 +79,7 @@ def test_cli_kfold_verify(tmp_path, capsys):
     assert len(rep) == 2  # one entry per fold
 
 
+@pytest.mark.slow
 def test_cli_counterfactual_do_t(tmp_path):
     from causalvae_tpu.cli.main import main
 
@@ -85,6 +88,7 @@ def test_cli_counterfactual_do_t(tmp_path):
     assert os.path.getsize(os.path.join(str(tmp_path), "do_t_grid.png")) > 0
 
 
+@pytest.mark.slow
 def test_cli_analyze_importance(tmp_path):
     from causalvae_tpu.cli.main import main
 
@@ -98,6 +102,7 @@ def test_cli_analyze_importance(tmp_path):
     assert "rank_correlation" in imp["comparison"]
 
 
+@pytest.mark.slow
 def test_train_vessel_bf16_compute():
     """compute_dtype='bfloat16' trains with f32 params and finite losses."""
     import jax
@@ -126,6 +131,7 @@ def test_train_vessel_bf16_compute():
                for a in jax.tree.leaves(state.params))
 
 
+@pytest.mark.slow
 def test_cli_translate_pipeline(tmp_path):
     from causalvae_tpu.cli.main import main
 
@@ -137,6 +143,7 @@ def test_cli_translate_pipeline(tmp_path):
     assert header == ["feature", "r2", "corr"]
 
 
+@pytest.mark.slow
 def test_cli_cascade_pipeline(tmp_path):
     from causalvae_tpu.cli.main import main
 
@@ -147,6 +154,7 @@ def test_cli_cascade_pipeline(tmp_path):
     assert header == ["feature", "importance"]
 
 
+@pytest.mark.slow
 def test_cli_vessel_report_pipeline(tmp_path):
     """The §3.4 artifact chain: all six CSV contracts produced."""
     from causalvae_tpu.cli.main import main
@@ -162,6 +170,7 @@ def test_cli_vessel_report_pipeline(tmp_path):
         assert os.path.getsize(path) > 0, f
 
 
+@pytest.mark.slow
 def test_train_vessel_recon_artifact(tmp_path):
     """T3 cadence: a sample-recon PNG lands in run_dir every `period` epochs
     (ref vessel train.py:186-200 sample plots every 50)."""
@@ -182,3 +191,26 @@ def test_train_vessel_recon_artifact(tmp_path):
                                           run_dir=str(tmp_path))
     assert os.path.exists(os.path.join(str(tmp_path), "latest"))
     assert os.path.getsize(os.path.join(str(tmp_path), "recon_epoch_1.png")) > 0
+
+
+@pytest.mark.slow
+def test_train_vessel_scan_steps(tmp_path):
+    """scan_steps > 0 routes the vessel epoch through the device-resident
+    scanned loop (one dispatch per scan_steps optimizer steps) and still
+    trains: loss finite and decreasing across epochs."""
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.data.vessel import synthetic_corpus
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.train import workloads as W
+
+    corpus = synthetic_corpus(n=16, hw=(64, 96), seed=0)
+    cfg = VesselConfig(batch_size=4, epochs=3, z_dim=8)
+    model = CausalViTVAE(img_size=(64, 96), m_dim=12, t_dim=corpus.t_dim,
+                         z_dim=8, embed_dim=32, depth=1, heads=2, mlp_dim=64,
+                         vit_latent_dim=32)
+    model, state, logger = W.train_vessel(corpus, cfg, model=model,
+                                          img_hw=(64, 96), scan_steps=2)
+    losses = [r["train_loss"] for r in logger.history if "train_loss" in r]
+    assert len(losses) == 3
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
