@@ -61,7 +61,16 @@ def conv_t(features, k, s, p, output_padding=0, name=None, dtype=jnp.float32):
     lax.conv_transpose pads the dilated input, so the torch-aligned pads are
     (k-1-p, k-1-p+output_padding); transpose_kernel=True applies the
     flipped-kernel/swapped-channels convention torch uses, keeping ported
-    reference checkpoints spatially exact."""
+    reference checkpoints spatially exact.
+
+    The (k=3, s=2, p=1, op=1) upsampler — the flagship ViT decoder's stage op
+    — lowers through the phase-decomposed subpixel form instead of XLA's
+    input-dilated convolution (same params/math; see ops/subpixel.py for why
+    this matters on TPU)."""
+    if (k, s, p, output_padding) == (3, 2, 1, 1):
+        from causalvae_tpu.ops.subpixel import SubpixelConvTranspose2x
+
+        return SubpixelConvTranspose2x(features, name=name, dtype=dtype)
     lo = k - 1 - p
     return nn.ConvTranspose(
         features,
