@@ -1,25 +1,29 @@
-"""Fused (flash-style) multi-head attention for the ViT encoder (Pallas TPU).
+"""Fused multi-head attention for the ViT encoder (Pallas TPU).
 
 The only attention in the workload is the ViT-VAE encoder over gh*gw + 1
-tokens (961 at 768x1280, 241 at 384x640 — SURVEY.md §5 'long-context'). The
-kernel computes softmax(Q K^T / sqrt(d)) V blockwise with an online softmax so
-the (N, N) score matrix never hits HBM; padding to the 128-lane grid is masked
-with -inf scores.
+tokens (961 at 768x1280, 241 at 384x640 — SURVEY.md §5 'long-context'). At
+these lengths the whole K/V row fits in VMEM, so each kernel instance
+computes its scores in a SINGLE pass — one (BLOCK_Q, N) dot, one exp, one
+row-sum — instead of the classic online-softmax block loop: the rescaling
+bookkeeping (running max / alpha / accumulator rescale per 128-wide block)
+costs more VPU time than it saves at N ~ 1k, and the (N, N) score matrix
+still never touches HBM.
 
 Training dropout on the attention probabilities (ref vessel_analysis/00_core/
 vit_backbone.py:30, torch nn.MultiheadAttention(dropout=0.1)) runs INSIDE the
-kernel: the Bernoulli mask is a counter-based hash of the global
-(seed, head, row, col) coordinates — a murmur3-style 32-bit mixer in plain
-integer VPU ops — so forward and backward regenerate bit-identical masks
-blockwise without ever materializing an (N, N) mask in HBM, and the same code
-runs under the Pallas interpreter on CPU. Dropout is applied after
-normalization (torch semantics): out = sum_k keep*softmax(s)_k*v_k / (1-rate).
+kernel. Mask bits come from the TPU hardware PRNG, seeded per 128x128 score
+tile with the global (seed, head, row0, col0) coordinates so the forward and
+both backward kernels regenerate bit-identical masks regardless of which grid
+axis iterates the tile. The Pallas interpreter has no TPU PRNG, so interpret
+mode (and host-side test references) uses a counter-based murmur3-style hash
+of the same coordinates — a pure function of position, identical across any
+block partitioning. Dropout is applied after normalization (torch semantics):
+out = sum_k keep*softmax(s)_k*v_k / (1-rate).
 
-Backward is a blockwise flash backward (two Pallas kernels: dq over q-blocks,
-dk/dv over k-blocks) recomputing probabilities from the saved logsumexp.
-Off-TPU the public entry falls back to XLA attention with a jax.random mask
-(same distribution; bitwise parity with the kernel is tested via
-force_pallas + interpret mode).
+Backward recomputes probabilities from the saved logsumexp (flash-style, two
+kernels: dq over q-blocks, dk/dv over k-blocks). Off-TPU the public entry
+falls back to XLA attention with a jax.random mask (same distribution;
+bitwise mask parity with the kernel is tested via force_pallas + interpret).
 """
 
 from __future__ import annotations
@@ -69,6 +73,35 @@ def dropout_keep(seed, bh, row0, col0, shape):
     return _mix32(h)
 
 
+def _hw_tile_bits(seed, bh, row0, col0):
+    """One (BLOCK_Q, BLOCK_K) tile of bits from the TPU hardware PRNG.
+
+    Mosaic takes at most 2 seed scalars: mix the 4 tile coordinates down with
+    the same odd-constant scheme as the portable hash (scalar ops). The tile
+    shape/order is FIXED so any kernel regenerates identical bits for a tile."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    s1 = jnp.uint32(seed) + jnp.uint32(bh) * jnp.uint32(_M3)
+    s2 = jnp.uint32(row0) * jnp.uint32(_M1) ^ jnp.uint32(col0) * jnp.uint32(_M2)
+    pltpu.prng_seed(s1, s2)
+    return pltpu.prng_random_bits((BLOCK_Q, BLOCK_K)).astype(jnp.uint32)
+
+
+def _keep_bits(seed, bh, row0, col0, shape, *, interpret: bool):
+    """Uniform mask bits for a (rows, cols) score region starting at
+    (row0, col0). rows/cols must be multiples of the 128x128 tile."""
+    if interpret:
+        return dropout_keep(seed, bh, row0, col0, shape)
+    rows, cols = shape
+    tiles = [
+        jnp.concatenate(
+            [_hw_tile_bits(seed, bh, row0 + i, col0 + j)
+             for j in range(0, cols, BLOCK_K)], axis=1)
+        for i in range(0, rows, BLOCK_Q)
+    ]
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
+
+
 def keep_from_bits(bits, rate: float):
     """bits >= rate*2^32  (P[drop] = rate exactly up to 2^-32 quantization)."""
     thresh = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
@@ -76,158 +109,137 @@ def keep_from_bits(bits, rate: float):
 
 
 # --------------------------------------------------------------------------
-# Forward kernel
+# Forward kernel (single pass: full K/V row in VMEM)
 # --------------------------------------------------------------------------
 
 
 def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                rate: float):
+                rate: float, interpret: bool):
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
     bh = pl.program_id(0)
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # (BLOCK_Q, D)
-    n_kblocks = k_ref.shape[1] // BLOCK_K
-
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        ks = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        vs = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BLOCK_Q, BLOCK_K)
-        col = kb * BLOCK_K + jax.lax.broadcasted_iota(
-            jnp.int32, (BLOCK_Q, BLOCK_K), 1
-        )
-        s = jnp.where(col < n_valid, s, NEG_INF)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        # normalizer uses the UNdropped probabilities (torch applies dropout
-        # after softmax); only the value accumulation is masked
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        if rate > 0.0:
-            bits = dropout_keep(seed, bh, qi * BLOCK_Q, kb * BLOCK_K, p.shape)
-            p = jnp.where(keep_from_bits(bits, rate), p, 0.0)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, vs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc, m_new, l_new
-
-    d = q_ref.shape[-1]
-    acc0 = jnp.zeros((BLOCK_Q, d), jnp.float32)
-    m0 = jnp.full((BLOCK_Q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BLOCK_Q, 1), jnp.float32)
-    acc, m_fin, l_fin = jax.lax.fori_loop(0, n_kblocks, body, (acc0, m0, l0))
+    n_pad = k_ref.shape[1]
+    q = q_ref[0]  # (BLOCK_Q, D), input dtype — MXU takes bf16 natively
+    ks = k_ref[0]  # (N, D)
+    s = scale * jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_Q, N) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, n_pad), 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    # normalizer uses the UNdropped probabilities (torch applies dropout
+    # after softmax); only the value accumulation is masked
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if rate > 0.0:
+        bits = _keep_bits(seed, bh, qi * BLOCK_Q, 0, p.shape,
+                          interpret=interpret)
+        p = jnp.where(keep_from_bits(bits, rate), p, 0.0)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_Q, D)
     # Padded q rows have all-masked scores (l == 0); emit zeros / LSE sentinel.
-    valid = l_fin > 0.0
-    out = acc / jnp.where(valid, l_fin, 1.0)
+    valid = l > 0.0
+    out = acc / jnp.where(valid, l, 1.0)
     if rate > 0.0:
         out = out / (1.0 - rate)
     o_ref[0] = out.astype(o_ref.dtype)
-    lse = jnp.where(valid, m_fin + jnp.log(jnp.where(valid, l_fin, 1.0)), LSE_PAD)
-    lse_ref[0] = lse  # (BLOCK_Q, 1)
+    lse_ref[0] = jnp.where(valid, m + jnp.log(jnp.where(valid, l, 1.0)), LSE_PAD)
 
 
 # --------------------------------------------------------------------------
-# Backward kernels (recompute p from saved logsumexp, flash-style)
+# Backward kernels (recompute p from saved logsumexp)
 # --------------------------------------------------------------------------
 
 
 def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                   dq_ref, *, scale: float, rate: float):
+                   dq_ref, *, scale: float, rate: float, interpret: bool):
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
     bh = pl.program_id(0)
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
+    n_pad = k_ref.shape[1]
+    q = q_ref[0]
+    ks = k_ref[0]
     do = do_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
     lse = lse_ref[0]  # (BLOCK_Q, 1)
     delta = jnp.sum(do * o, axis=1, keepdims=True)  # rowsum(dO ∘ O)
-    n_kblocks = k_ref.shape[1] // BLOCK_K
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
-    def body(kb, dq):
-        ks = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        vs = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        s = scale * jax.lax.dot_general(
-            q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        col = kb * BLOCK_K + jax.lax.broadcasted_iota(
-            jnp.int32, (BLOCK_Q, BLOCK_K), 1
-        )
-        s = jnp.where(col < n_valid, s, NEG_INF)
-        p = jnp.exp(s - lse)  # normalized probs; 0 on padded rows/cols
-        dp = jax.lax.dot_general(
-            do, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if rate > 0.0:
-            bits = dropout_keep(seed, bh, qi * BLOCK_Q, kb * BLOCK_K, p.shape)
-            dp = jnp.where(keep_from_bits(bits, rate), dp * inv_keep, 0.0)
-        ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    d = q_ref.shape[-1]
-    dq = jax.lax.fori_loop(0, n_kblocks, body, jnp.zeros((BLOCK_Q, d), jnp.float32))
+    s = scale * jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_Q, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, n_pad), 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)  # normalized probs; 0 on padded cols
+    dp = jax.lax.dot_general(
+        do.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_Q, N)
+    if rate > 0.0:
+        bits = _keep_bits(seed, bh, qi * BLOCK_Q, 0, p.shape,
+                          interpret=interpret)
+        dp = jnp.where(keep_from_bits(bits, rate), dp * inv_keep, 0.0)
+    ds = (p * (dp - delta)).astype(q_ref.dtype)
+    dq = jax.lax.dot_general(
+        ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                    dk_ref, dv_ref, *, scale: float, rate: float):
+                    dk_ref, dv_ref, *, scale: float, rate: float,
+                    interpret: bool):
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
     bh = pl.program_id(0)
     kb = pl.program_id(1)
-    ks = k_ref[0].astype(jnp.float32)  # (BLOCK_K, D)
-    vs = v_ref[0].astype(jnp.float32)
-    col = kb * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, BLOCK_K), 1)
-    n_qblocks = q_ref.shape[1] // BLOCK_Q
+    n_pad = q_ref.shape[1]
+    qs = q_ref[0]          # (N, D) full
+    ks = k_ref[0]          # (BLOCK_K, D) this block
+    vs = v_ref[0]
+    dos = do_ref[0].astype(jnp.float32)  # (N, D)
+    os_ = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]       # (N, 1)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
-    def body(qi, carry):
-        dk, dv = carry
-        qs = q_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
-        dos = do_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
-        os_ = o_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * BLOCK_Q, BLOCK_Q), :]  # (BLOCK_Q, 1)
-        s = scale * jax.lax.dot_general(
-            qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = jnp.where(col < n_valid, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (BLOCK_Q, BLOCK_K)
-        if rate > 0.0:
-            bits = dropout_keep(seed, bh, qi * BLOCK_Q, kb * BLOCK_K, p.shape)
-            keep = keep_from_bits(bits, rate)
-            pd = jnp.where(keep, p * inv_keep, 0.0)
-        else:
-            pd = p
-        dv = dv + jax.lax.dot_general(
-            pd, dos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            dos, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if rate > 0.0:
-            dp = jnp.where(keep, dp * inv_keep, 0.0)
-        delta = jnp.sum(dos * os_, axis=1, keepdims=True)
-        ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(
-            ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return dk, dv
-
-    d = q_ref.shape[-1]
-    z = jnp.zeros((BLOCK_K, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_qblocks, body, (z, z))
+    s = scale * jax.lax.dot_general(
+        qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (N, BLOCK_K)
+    col = kb * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (n_pad, BLOCK_K), 1)
+    s = jnp.where(col < n_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (N, BLOCK_K)
+    if rate > 0.0:
+        bits = _keep_bits(seed, bh, 0, kb * BLOCK_K, p.shape,
+                          interpret=interpret)
+        keep = keep_from_bits(bits, rate)
+        pd = jnp.where(keep, p * inv_keep, 0.0)
+    else:
+        pd = p
+    dv = jax.lax.dot_general(
+        pd.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_K, D)
+    dp = jax.lax.dot_general(
+        dos.astype(v_ref.dtype), vs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, BLOCK_K)
+    if rate > 0.0:
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    delta = jnp.sum(dos * os_, axis=1, keepdims=True)  # (N, 1)
+    ds = (p * (dp - delta)).astype(q_ref.dtype)
+    dk = jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BLOCK_K, D)
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -242,14 +254,15 @@ def _interpret() -> bool:
 
 
 def _fwd_call(q, k, v, meta, scale: float, rate: float):
-    """q/k/v: (BH, Npad, D), Npad % 128 == 0, D % 128 == 0 -> (o, lse)."""
+    """q/k/v: (BH, Npad, D), Npad % 128 == 0 -> (o, lse)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bh, n_pad, d = q.shape
     grid = (bh, n_pad // BLOCK_Q)
+    interp = _interpret()
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate, interpret=interp),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -270,7 +283,7 @@ def _fwd_call(q, k, v, meta, scale: float, rate: float):
             bytes_accessed=4 * bh * n_pad * d * 4,
             transcendentals=bh * n_pad * n_pad,
         ),
-        interpret=_interpret(),
+        interpret=interp,
     )(meta, q, k, v)
 
 
@@ -281,9 +294,10 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
     bh, n_pad, d = q.shape
     blk = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
-    common = dict(interpret=_interpret())
+    interp = _interpret()
+    common = dict(interpret=interp)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, rate=rate),
+        functools.partial(_bwd_dq_kernel, scale=scale, rate=rate, interpret=interp),
         grid=(bh, n_pad // BLOCK_Q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -304,7 +318,7 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
         **common,
     )(meta, q, k, v, do, o, lse)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, rate=rate),
+        functools.partial(_bwd_dkv_kernel, scale=scale, rate=rate, interpret=interp),
         grid=(bh, n_pad // BLOCK_K),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -357,7 +371,7 @@ def _flash(rate, q, k, v, seed):
 def _flash_fwd(rate, q, k, v, seed):
     b, h, n, d = q.shape
     n_pad = _round_up(n, BLOCK_Q)
-    d_pad = _round_up(d, 128)
+    d_pad = _round_up(d, 8)
     scale = float(1.0 / np.sqrt(d))
     meta = jnp.stack([jnp.int32(n), seed.astype(jnp.int32)])
     qp, kp, vp = (_prep(a, n_pad, d_pad) for a in (q, k, v))

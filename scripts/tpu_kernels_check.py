@@ -62,16 +62,49 @@ def main() -> int:
     for name_, a_, b_ in zip(("dq", "dk", "dv"), gf(q, k, v), gx(q, k, v)):
         ok &= check(f"flash {name_}", a_, b_)
 
-    # 2. dropout values + grads vs exact mask reference
+    # 2. dropout: the TPU path draws mask bits from the hardware PRNG (the
+    # host hash is interpret-mode only), so validate semantics rather than a
+    # bitwise mask: determinism, keep statistics, expectation, and a
+    # directional finite-difference gradient check (valid because the mask is
+    # a fixed function of (seed, coordinates) -> the loss is smooth in q for
+    # a fixed seed).
     rate, seed = 0.1, 1234
     fd = jax.jit(lambda q, k, v: ka.flash_attention(
         q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed)))
-    rd = jax.jit(lambda q, k, v: ref_dropout_attention(q, k, v, rate, seed))
-    ok &= check("flash+dropout fwd", fd(q, k, v), rd(q, k, v))
-    gfd = jax.jit(jax.grad(lambda *a: jnp.sum(fd(*a) ** 2), argnums=(0, 1, 2)))
-    grd = jax.jit(jax.grad(lambda *a: jnp.sum(rd(*a) ** 2), argnums=(0, 1, 2)))
-    for name_, a_, b_ in zip(("dq", "dk", "dv"), gfd(q, k, v), grd(q, k, v)):
-        ok &= check(f"flash+dropout {name_}", a_, b_)
+    o1, o2 = fd(q, k, v), fd(q, k, v)
+    det = bool(jnp.all(o1 == o2))
+    print(f"{'OK ' if det else 'FAIL'} dropout determinism (bitwise)")
+    ok &= det
+    o_nodrop = f(q, k, v)
+    # E[out] == no-dropout out; mean over the big tensor ~ tight
+    ma, mb = float(jnp.mean(o1)), float(jnp.mean(o_nodrop))
+    rel = abs(ma - mb) / (abs(mb) + 1e-6)
+    print(f"{'OK ' if rel < 0.05 else 'FAIL'} dropout mean preservation: "
+          f"{ma:.5f} vs {mb:.5f} (rel {rel:.3f})")
+    ok &= rel < 0.05
+    # small shape keeps the loss magnitude low enough for f32 central
+    # differences; direction aligned with the gradient maximizes signal
+    qs_, ks_, vs_ = (jnp.asarray(rng.standard_normal((1, 2, 200, d))
+                                 .astype(np.float32)) for _ in range(3))
+    loss = jax.jit(lambda q, k, v: jnp.sum(ka.flash_attention(
+        q, k, v, dropout_rate=rate, dropout_seed=jnp.uint32(seed)) ** 2))
+    gq = jax.jit(jax.grad(loss))(qs_, ks_, vs_)
+    u = gq / jnp.linalg.norm(gq)
+    eps = 3e-2
+    fd_dir = (float(loss(qs_ + eps * u, ks_, vs_))
+              - float(loss(qs_ - eps * u, ks_, vs_))) / (2 * eps)
+    an_dir = float(jnp.vdot(gq, u))
+    rel = abs(fd_dir - an_dir) / (abs(an_dir) + 1e-6)
+    # 5% tolerance: central differences on a softmax carry O(eps^2) curvature
+    # error; a fwd/bwd mask mismatch would show up as O(1) disagreement
+    print(f"{'OK ' if rel < 5e-2 else 'FAIL'} dropout grad (directional FD): "
+          f"fd {fd_dir:.4f} vs analytic {an_dir:.4f} (rel {rel:.2e})")
+    ok &= rel < 5e-2
+    # drop fraction: count exact zeros the mask introduces in probs is hidden;
+    # instead check variance increases vs no-dropout (masked sum of positives)
+    dif = float(jnp.mean(jnp.abs(o1 - o_nodrop)))
+    print(f"info: mean |dropout - clean| = {dif:.5f} (should be > 0)")
+    ok &= dif > 1e-5
 
     # 3. fused vessel ELBO reduction
     x_img = jnp.asarray((rng.random((4, 192, 320, 1)) > 0.85).astype(np.float32))
