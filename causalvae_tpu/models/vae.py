@@ -85,8 +85,14 @@ def conv_t(features, k, s, p, output_padding=0, name=None, dtype=jnp.float32):
 
 def batch_norm(name=None, dtype=jnp.float32):
     """torch BatchNorm (momentum 0.1, eps 1e-5) equivalent; pass
-    use_running_average=not train at call time."""
-    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name, dtype=dtype)
+    use_running_average=not train at call time.
+
+    Backed by FusedBatchNorm: identical math/params to nn.BatchNorm, but
+    train-mode reductions for NHWC tensors with C < 128 run lane-dense
+    through a Pallas kernel on TPU (ops/kernels/batchnorm.py)."""
+    from causalvae_tpu.ops.kernels.batchnorm import FusedBatchNorm
+
+    return FusedBatchNorm(momentum=0.9, epsilon=1e-5, name=name, dtype=dtype)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

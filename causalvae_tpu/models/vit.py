@@ -19,18 +19,30 @@ from causalvae_tpu.models.vae import VAEOutput, batch_norm, conv, conv_t, repara
 
 
 class ResBlock(nn.Module):
-    """conv3-BN-LeakyReLU(0.2)-conv3-BN with identity skip (ref vit_backbone.py:7-19)."""
+    """conv3-BN-LeakyReLU(0.2)-conv3-BN with identity skip (ref vit_backbone.py:7-19).
+
+    ``levels`` > 0 runs the block on a phase-packed tensor (input/output
+    packed ``levels`` times, channels x4 per level) with the SAME parameters
+    — convs apply lift_once-transformed kernels, BN folds stats per real
+    channel (ops/subpixel.py)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        h = conv(self.channels, 3, 1, 1, dtype=self.dtype)(x)
-        h = batch_norm(dtype=self.dtype)(h, use_running_average=not train)
+    def __call__(self, x, train: bool = False, levels: int = 0):
+        from causalvae_tpu.ops.subpixel import PhaseableConv3x3
+
+        g = 4 ** levels
+        h = PhaseableConv3x3(self.channels, dtype=self.dtype,
+                             name="Conv_0")(x, levels=levels)
+        h = batch_norm(dtype=self.dtype, name="BatchNorm_0")(
+            h, use_running_average=not train, groups=g)
         h = nn.leaky_relu(h, 0.2)
-        h = conv(self.channels, 3, 1, 1, dtype=self.dtype)(h)
-        h = batch_norm(dtype=self.dtype)(h, use_running_average=not train)
+        h = PhaseableConv3x3(self.channels, dtype=self.dtype,
+                             name="Conv_1")(h, levels=levels)
+        h = batch_norm(dtype=self.dtype, name="BatchNorm_1")(
+            h, use_running_average=not train, groups=g)
         return x + h
 
 
@@ -106,16 +118,24 @@ class ViTVAE(nn.Module):
     mlp_dim: int = 512
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # phase-packed execution (ops/subpixel.py): the stem consumes a
+    # space-to-depth-packed input and the decoder stays on coarse grids with
+    # dense (>=128) channel counts — identical parameters and math to the
+    # spatial formulation (equivalence-tested), laid out for the TPU's
+    # (8, 128) tiling. packed=False runs the reference spatial formulation.
+    packed: bool = True
 
     @property
     def grid_hw(self):
         return self.img_size[0] // 32, self.img_size[1] // 32
 
     def setup(self):
+        from causalvae_tpu.ops.subpixel import LiftableStemConv
+
         d = self.dtype
         gh, gw = self.grid_hw
         stem_ch = (32, 64, 128, self.embed_dim, self.embed_dim)
-        self.stem_convs = [conv(c, 3, 2, 1, dtype=d) for c in stem_ch]
+        self.stem_convs = [LiftableStemConv(c, dtype=d) for c in stem_ch]
         self.stem_bns = [batch_norm(dtype=d) for _ in stem_ch]
         self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.normal(1.0), (1, gh * gw + 1, self.embed_dim)
@@ -134,15 +154,31 @@ class ViTVAE(nn.Module):
         self.dec_ct = [conv_t(c, 3, 2, 1, output_padding=1, dtype=d) for c in (128, 64, 32, 16, 16)]
         self.dec_bns = [batch_norm(dtype=d) for _ in range(5)]
         self.dec_res = [ResBlock(c, dtype=d) for c in (128, 64, 32, 16)]
-        self.dec_out = conv(self.in_channels, 3, 1, 1, dtype=d)
+        from causalvae_tpu.ops.subpixel import PhaseableConv3x3
+
+        self.dec_out = PhaseableConv3x3(self.in_channels, dtype=d)
         self.pos_dropout = nn.Dropout(self.dropout)
 
     def tokens(self, x, train: bool = False):
         """Stem + CLS + positional embedding + transformer -> (B, N+1, E)."""
+        from causalvae_tpu.ops.subpixel import space_to_depth_2x
+
         h = x
-        for cv, bn in zip(self.stem_convs, self.stem_bns):
-            h = bn(cv(h), use_running_average=not train)
-            h = nn.leaky_relu(h, 0.01)  # torch nn.LeakyReLU() default slope
+        if self.packed:
+            # image packed 3x; each stride-2 conv consumes one level, so the
+            # stem runs at (H/8, W/8) with channels 64 -> 512 -> 256 -> 128
+            for _ in range(3):
+                h = space_to_depth_2x(h)
+            in_lv = (3, 2, 1, 0, 0)
+            for i, (cv, bn) in enumerate(zip(self.stem_convs, self.stem_bns)):
+                h = cv(h, in_levels=in_lv[i])
+                g = 4 ** max(in_lv[i] - 1, 0)
+                h = bn(h, use_running_average=not train, groups=g)
+                h = nn.leaky_relu(h, 0.01)
+        else:
+            for cv, bn in zip(self.stem_convs, self.stem_bns):
+                h = bn(cv(h), use_running_average=not train)
+                h = nn.leaky_relu(h, 0.01)  # torch nn.LeakyReLU() default slope
         b, gh, gw, c = h.shape
         h = h.reshape(b, gh * gw, c)
         cls = jnp.broadcast_to(self.cls_token.astype(h.dtype), (b, 1, c))
@@ -168,12 +204,45 @@ class ViTVAE(nn.Module):
         gh, gw = self.grid_hw
         h = self.decoder_input(z)
         h = h.reshape(-1, gh, gw, self.embed_dim)
-        for i, ct in enumerate(self.dec_ct):
-            h = self.dec_bns[i](ct(h), use_running_average=not train)
-            h = nn.leaky_relu(h, 0.01)
-            if i < len(self.dec_res):
-                h = self.dec_res[i](h, train=train)
-        return self.dec_out(h)
+        if not self.packed:
+            for i, ct in enumerate(self.dec_ct):
+                h = self.dec_bns[i](ct(h), use_running_average=not train)
+                h = nn.leaky_relu(h, 0.01)
+                if i < len(self.dec_res):
+                    h = self.dec_res[i](h, train=train)
+            return self.dec_out(h)
+        # Phase-packed decoder (ops/subpixel.py): after stage 0 every
+        # activation stays on a coarse grid with >= 128 dense channels —
+        # the narrow-channel full-resolution tensors of the spatial
+        # formulation (8x lane-padded under the TPU's (8, 128) tiling, with
+        # C=16/C=1 convolutions starving the MXU) never materialize; the
+        # full 768x1280 grid appears only as the final 1-channel output.
+        # Identical parameters and math (equivalence-tested).
+        from causalvae_tpu.ops.subpixel import depth_to_space_2x
+
+        def bn_act(i, h, groups):
+            h = self.dec_bns[i](h, use_running_average=not train, groups=groups)
+            return nn.leaky_relu(h, 0.01)
+
+        h = self.dec_ct[0](h)                              # (2gh, 2gw, 128)
+        h = bn_act(0, h, 1)
+        h = self.dec_res[0](h, train=train)
+        h = self.dec_ct[1](h, phase_output=True)           # L1: (2gh, 2gw, 256)
+        h = bn_act(1, h, 4)
+        h = self.dec_res[1](h, train=train, levels=1)
+        h = self.dec_ct[2](h, phase_output=True, in_levels=1)  # L2: 512
+        h = bn_act(2, h, 16)
+        h = self.dec_res[2](h, train=train, levels=2)
+        h = depth_to_space_2x(h)                           # L1: (4gh, 4gw, 128)
+        h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
+        h = bn_act(3, h, 16)
+        h = self.dec_res[3](h, train=train, levels=2)
+        h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
+        h = bn_act(4, h, 64)
+        o = self.dec_out(h, levels=3)                      # (4gh, 4gw, 64)
+        for _ in range(3):
+            o = depth_to_space_2x(o)
+        return o                                           # (32gh, 32gw, 1)
 
     def __call__(self, x, *, rng: jax.Array, train: bool = False):
         mu, logvar = self.encode(x, train=train)
@@ -198,6 +267,7 @@ class CausalViTVAE(nn.Module):
     heads: int = 8
     mlp_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    packed: bool = True
 
     def setup(self):
         d = self.dtype
@@ -209,6 +279,7 @@ class CausalViTVAE(nn.Module):
             heads=self.heads,
             mlp_dim=self.mlp_dim,
             dtype=d,
+            packed=self.packed,
         )
         self.enc_adapter_fc1 = nn.Dense(512, dtype=d)
         self.enc_adapter_bn = batch_norm(dtype=d)

@@ -1,0 +1,295 @@
+"""Lane-dense training BatchNorm for NHWC tensors with few channels (Pallas).
+
+XLA lowers train-mode BatchNorm reductions over (B, H, W) with the channel on
+the 128-lane minor dimension; at the decoder's C in {16, 32, 64} that leaves
+7/8ths of every vector idle — measured 7.2 ms to reduce the (8, 768, 1280, 16)
+stage-4 activation on a v5e (35 GB/s effective vs the 819 GB/s roofline).
+
+The fix: when C divides 128, view the tensor as a flat (M, 128) array. Lane
+``l`` then always holds channel ``l % C`` (because 128 ≡ 0 mod C), so a plain
+row-reduction uses every lane; the final (128,) -> (C,) fold over the
+128/C lane groups is trivial. The same trick serves the backward pass's two
+reductions (Σdy, Σdy·x̂ per channel). Normalize / dx stay elementwise XLA (they
+fuse with neighbors).
+
+``FusedBatchNorm`` is a drop-in for ``nn.BatchNorm(momentum, epsilon)`` with
+identical parameter/collection names ("scale"/"bias", batch_stats
+"mean"/"var"), math (fast-variance E[x²]−E[x]², f32 stats, biased running
+var), and update semantics — ported torch checkpoints keep working. Off-TPU
+(and for shapes the kernel doesn't cover) it computes the same math in plain
+jnp; only the reduction implementation differs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_BLOCK_ROWS = (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pallas_ok(x: jnp.ndarray) -> bool:
+    """Lane-dense kernel applies to 4-D NHWC with C < 128 dividing 128, on a
+    SINGLE TPU chip. On multi-device meshes the jnp formulation is used so
+    GSPMD partitions the batch reduction globally (correct cross-device BN
+    stats, matching tests/test_parallel.py::test_batchnorm_stats_global)."""
+    if x.ndim != 4:
+        return False
+    c = x.shape[-1]
+    total = x.size
+    try:
+        single = jax.device_count() == 1
+    except Exception:  # pragma: no cover
+        single = False
+    return c < 128 and 128 % c == 0 and total % 128 == 0 and single and _on_tpu()
+
+
+def _block_rows(m: int) -> int:
+    for br in _BLOCK_ROWS:
+        if m % br == 0:
+            return br
+    return 1
+
+
+# --------------------------------------------------------------------------
+# Kernels: row-block reductions over the (M, 128) view, sequential-grid
+# accumulation into (1, 128) outputs
+# --------------------------------------------------------------------------
+
+
+def _sum_sq_kernel(x_ref, sum_ref, sq_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    xb = x_ref[...].astype(jnp.float32)
+    s = jnp.sum(xb, axis=0, keepdims=True)
+    q = jnp.sum(xb * xb, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        sum_ref[...] = s
+        sq_ref[...] = q
+
+    @pl.when(i > 0)
+    def _acc():
+        sum_ref[...] += s
+        sq_ref[...] += q
+
+
+def _dy_dyxhat_kernel(dy_ref, x_ref, mu_ref, inv_ref, s1_ref, s2_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    dy = dy_ref[...].astype(jnp.float32)
+    xb = x_ref[...].astype(jnp.float32)
+    xhat = (xb - mu_ref[...]) * inv_ref[...]
+    s1 = jnp.sum(dy, axis=0, keepdims=True)
+    s2 = jnp.sum(dy * xhat, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        s1_ref[...] = s1
+        s2_ref[...] = s2
+
+    @pl.when(i > 0)
+    def _acc():
+        s1_ref[...] += s1
+        s2_ref[...] += s2
+
+
+def _lane_reduce(kernel, inputs, n_outputs: int):
+    """Run a row-block reduction kernel over (M, 128)-viewed inputs.
+
+    inputs: list of (arr_flat_M_128 | (1, 128) broadcast vector)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = inputs[0].shape[0]
+    br = _block_rows(m)
+    grid = (m // br,)
+    in_specs = []
+    for a in inputs:
+        if a.shape[0] == 1:
+            in_specs.append(
+                pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(
+                pl.BlockSpec((br, 128), lambda i: (i, 0), memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] * n_outputs,
+        out_shape=[jax.ShapeDtypeStruct((1, 128), jnp.float32)] * n_outputs,
+        interpret=not _on_tpu(),
+    )(*inputs)
+
+
+def _fold(lanes128: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(1, 128) per-lane partials -> (C,) per-channel totals."""
+    return lanes128.reshape(128 // c, c).sum(axis=0)
+
+
+def _tile(vec_c: jnp.ndarray) -> jnp.ndarray:
+    """(C,) per-channel vector -> (1, 128) per-lane broadcast (C | 128)."""
+    return jnp.tile(vec_c.astype(jnp.float32), 128 // vec_c.shape[0])[None, :]
+
+
+# --------------------------------------------------------------------------
+# Train-mode BN with custom VJP
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bn_train(x, scale, bias, epsilon: float, use_pallas: bool,
+             groups: int = 1):
+    """Training BatchNorm over all but the last axis: returns (y, mean, var).
+
+    mean/var are the f32 batch statistics (for running-average updates);
+    y has x's dtype semantics promoted with scale/bias (flax-equivalent).
+
+    ``groups`` > 1 treats the channel axis as ``groups`` phase blocks of the
+    same C real channels (layout phase*C + c, as produced by the subpixel
+    decoder): statistics and parameters are per REAL channel, exactly as if
+    the phases had been scattered back to their spatial positions first."""
+    y, mean, var, _ = _bn_fwd_impl(x, scale, bias, epsilon, use_pallas, groups)
+    return y, mean, var
+
+
+def _gtile(vec_c, groups):
+    return jnp.tile(vec_c, groups) if groups > 1 else vec_c
+
+
+def _stats(x, use_pallas: bool, groups: int):
+    c = x.shape[-1] // groups
+    n = x.size // c
+    if use_pallas:
+        flat = x.reshape(-1, 128)
+        s, q = _lane_reduce(_sum_sq_kernel, [flat], 2)
+        total = _fold(s, c)
+        total_sq = _fold(q, c)
+        mean = total / n
+        var = jnp.maximum(total_sq / n - mean * mean, 0.0)
+    else:
+        # reduce over the leading axes at the FULL (phase-packed) channel
+        # width first — full-lane reduction, no relayouting reshape of the
+        # big tensor — then fold the small per-phase-channel vector
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        s_full = jnp.sum(xf, axis=axes)
+        q_full = jnp.sum(xf * xf, axis=axes)
+        mean = s_full.reshape(groups, c).sum(0) / n
+        var = jnp.maximum(q_full.reshape(groups, c).sum(0) / n - mean * mean, 0.0)
+    return mean, var
+
+
+def _bn_fwd_impl(x, scale, bias, epsilon, use_pallas, groups):
+    mean, var = _stats(x, use_pallas, groups)
+    inv = jax.lax.rsqrt(var + epsilon)
+    out_dtype = jnp.promote_types(x.dtype, jnp.promote_types(scale.dtype, bias.dtype))
+    mul = _gtile(inv * scale.astype(jnp.float32), groups)
+    sub = _gtile(mean, groups)
+    add = _gtile(bias.astype(jnp.float32), groups)
+    y = ((x.astype(jnp.float32) - sub) * mul + add).astype(out_dtype)
+    return y, mean, var, inv
+
+
+def _bn_train_fwd(x, scale, bias, epsilon, use_pallas, groups):
+    y, mean, var, inv = _bn_fwd_impl(x, scale, bias, epsilon, use_pallas, groups)
+    return (y, mean, var), (x, scale, mean, inv)
+
+
+def _bn_train_bwd(epsilon, use_pallas, groups, res, cots):
+    x, scale, mean, inv = res
+    dy, dmean_cot, dvar_cot = cots
+    c = x.shape[-1] // groups
+    n = x.size // c
+    dyf32 = dy.astype(jnp.float32)
+    mean_t = _gtile(mean, groups)
+    inv_t = _gtile(inv, groups)
+    if use_pallas:
+        flat_dy = dy.reshape(-1, 128)
+        flat_x = x.reshape(-1, 128)
+        s1l, s2l = _lane_reduce(
+            _dy_dyxhat_kernel, [flat_dy, flat_x, _tile(mean_t), _tile(inv_t)], 2)
+        s1 = _fold(s1l, c)           # Σ dy
+        s2 = _fold(s2l, c)           # Σ dy·x̂
+    else:
+        axes = tuple(range(x.ndim - 1))
+        xhat_full = (x.astype(jnp.float32) - mean_t) * inv_t
+        s1 = jnp.sum(dyf32, axis=axes).reshape(groups, c).sum(0)
+        s2 = jnp.sum(dyf32 * xhat_full, axis=axes).reshape(groups, c).sum(0)
+    dscale = s2
+    dbias = s1
+    # dx = scale·inv·(dy − Σdy/N − x̂·Σ(dy·x̂)/N), plus the (normally zero)
+    # cotangents flowing into the mean/var outputs (running stats are
+    # flax-mutable side state, not differentiated)
+    xhat_el = (x.astype(jnp.float32) - mean_t) * inv_t
+    dx = ((_gtile(scale.astype(jnp.float32), groups) * inv_t)
+          * (dyf32 - _gtile(s1, groups) / n - xhat_el * _gtile(s2, groups) / n))
+    dx = dx + _gtile(dmean_cot, groups) / n
+    dx = dx + _gtile(dvar_cot, groups) * 2.0 * (x.astype(jnp.float32) - mean_t) / n
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+# --------------------------------------------------------------------------
+# Flax module
+# --------------------------------------------------------------------------
+
+
+class BatchNorm(nn.Module):
+    """Drop-in nn.BatchNorm(momentum, epsilon) with lane-dense Pallas
+    reductions for 4-D NHWC inputs with C < 128 dividing 128 on TPU.
+    torch BatchNorm equivalence (momentum 0.1 torch == 0.9 here) is the same
+    contract the previous nn.BatchNorm-based helper had.
+
+    Named ``BatchNorm`` so flax auto-naming produces the same parameter paths
+    ("BatchNorm_0", ...) as the nn.BatchNorm it replaces — ported torch
+    checkpoints and train/port_maps.py name maps stay valid."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True, groups: int = 1):
+        c = x.shape[-1] // groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda *a: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda *a: jnp.ones(c, jnp.float32))
+        if use_running_average:
+            mean = _gtile(ra_mean.value, groups)
+            var = _gtile(ra_var.value, groups)
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            y = ((x.astype(jnp.float32) - mean)
+                 * (inv * _gtile(scale.astype(jnp.float32), groups))
+                 + _gtile(bias.astype(jnp.float32), groups)).astype(self.dtype)
+            return y
+        y, mean, var = bn_train(x, scale, bias, self.epsilon, _pallas_ok(x),
+                                groups)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y.astype(self.dtype)
+
+
+FusedBatchNorm = BatchNorm  # explicit-import alias

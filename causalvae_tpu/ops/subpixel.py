@@ -66,6 +66,148 @@ def depth_to_space_2x(y: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(b, 2 * h, 2 * w, c)
 
 
+def conv3x3_phase_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Kernel of a pad-1 3x3 conv on the UPSAMPLED grid, re-expressed as a
+    pad-1 3x3 conv on the phase-space tensor.
+
+    For up[2p+a, 2q+b, c] = y[p, q, (a*2+b)*C+c] (the phase layout), a 3x3
+    correlation out[2m+a', 2n+b'] = sum_{u,v} up[2m+a'+u-1, 2n+b'+v-1] W[u,v]
+    becomes out_ph[m+du, n+dv] contributions with u = 2*du + 1 + a - a'
+    (valid when 0 <= u < 3), so the phase kernel has spatial support
+    du, dv in {-1, 0, 1} — again 3x3, half the taps structurally zero.
+
+    w: (3, 3, C_in, C_out) -> (3, 3, 4*C_in, 4*C_out), channel layout
+    (a*2+b)*C + c on both sides (matching :func:`depth_to_space_2x`).
+    """
+    k, k2, c_in, c_out = w.shape
+    assert (k, k2) == (3, 3)
+    zero = jnp.zeros_like(w[0, 0])  # (C_in, C_out)
+    rows = []
+    for du in (-1, 0, 1):
+        cols = []
+        for dv in (-1, 0, 1):
+            in_blocks = []
+            for a in (0, 1):
+                for b in (0, 1):
+                    out_blocks = []
+                    for ap in (0, 1):
+                        for bp in (0, 1):
+                            u = 2 * du + 1 + a - ap
+                            v = 2 * dv + 1 + b - bp
+                            if 0 <= u < 3 and 0 <= v < 3:
+                                out_blocks.append(w[u, v])
+                            else:
+                                out_blocks.append(zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))  # (4C_in, 4C_out)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # (3, 3, 4C_in, 4C_out)
+
+
+def space_to_depth_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2H, 2W, C) -> (B, H, W, 4C); inverse of :func:`depth_to_space_2x`
+    (new phase blocks outermost)."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+def lift_once(w: jnp.ndarray, pad_lo: int):
+    """Re-express a same-size stride-1 KxK conv on grid 2G as a conv on grid
+    G whose input AND output both gain one 2x2 phase-packing level (new
+    phases outermost in both channel dims).
+
+    For out[2m+a'] = sum_u in[2m+a'+u-pad_lo] W[u] and in[2p+a] = ph[p, a]:
+    p = m + du with u = 2*du + pad_lo + a - a' (parity-constrained), so the
+    lifted kernel has spatial taps du and blocks W[u, v] wherever the phase
+    parities line up. Returns (w', pad_lo'): (K', K', 4C_in, 4C_out) with
+    pad (pad_lo', K'-1-pad_lo') keeping same-size semantics on grid G.
+    Self-similar for this codebase's convs: K3 pad 1 -> K3 pad 1;
+    K2 pad 0 -> K2 pad 0; K2 pad 1 -> K2 pad 1."""
+    k = w.shape[0]
+    dus = sorted({
+        (u - pad_lo - a + ap) // 2
+        for a in (0, 1) for ap in (0, 1) for u in range(k)
+        if (u - pad_lo - a + ap) % 2 == 0
+    })
+    zero = jnp.zeros_like(w[0, 0])
+    rows = []
+    for du in dus:
+        cols = []
+        for dv in dus:
+            in_blocks = []
+            for a in (0, 1):
+                for b in (0, 1):
+                    out_blocks = []
+                    for ap in (0, 1):
+                        for bp in (0, 1):
+                            u = 2 * du + pad_lo + a - ap
+                            v = 2 * dv + pad_lo + b - bp
+                            out_blocks.append(
+                                w[u, v] if 0 <= u < k and 0 <= v < k else zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows), -dus[0]
+
+
+def consume_once(w: jnp.ndarray, pad_lo: int):
+    """Re-express a stride-2 KxK conv (grid 2G -> grid G) as a same-size
+    stride-1 conv on grid G that CONSUMES one 2x2 phase level of its input
+    (input channels x4; output stays unpacked).
+
+    out[n] = sum_u in[2n+u-pad_lo]; in[2p+phi] = ph[p, phi] ->
+    p = n + du with u = 2*du + pad_lo + phi (parity-constrained).
+    Returns (w', pad_lo'): (K', K', 4C_in, C_out)."""
+    k = w.shape[0]
+    dus = sorted({
+        (u - pad_lo - phi) // 2
+        for phi in (0, 1) for u in range(k)
+        if (u - pad_lo - phi) % 2 == 0
+    })
+    zero = jnp.zeros_like(w[0, 0])
+    rows = []
+    for du in dus:
+        cols = []
+        for dv in dus:
+            in_blocks = []
+            for phi in (0, 1):
+                for psi in (0, 1):
+                    u = 2 * du + pad_lo + phi
+                    v = 2 * dv + pad_lo + psi
+                    in_blocks.append(
+                        w[u, v] if 0 <= u < k and 0 <= v < k else zero)
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows), -dus[0]
+
+
+def same_conv(x: jnp.ndarray, w: jnp.ndarray, pad_lo: int) -> jnp.ndarray:
+    """Same-size NHWC conv with pad (pad_lo, K-1-pad_lo) on both axes."""
+    k = w.shape[0]
+    pad = ((pad_lo, k - 1 - pad_lo), (pad_lo, k - 1 - pad_lo))
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def phase_conv3x3(x_ph: jnp.ndarray, w: jnp.ndarray,
+                  bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Apply a pad-1 3x3 conv (weights for the upsampled grid) directly on a
+    phase-space tensor: (B, H, W, 4C_in) -> (B, H, W, 4C_out)."""
+    pk = conv3x3_phase_kernel(w)
+    y = jax.lax.conv_general_dilated(
+        x_ph, pk.astype(x_ph.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        c_out = w.shape[-1]
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y
+
+
 class SubpixelConvTranspose2x(nn.Module):
     """Drop-in replacement for ``nn.ConvTranspose(features, (3, 3),
     strides=(2, 2), padding=((0, 1), (0, 1)), transpose_kernel=True)`` (torch
@@ -78,8 +220,12 @@ class SubpixelConvTranspose2x(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c_in = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, phase_output: bool = False,
+                 in_levels: int = 0) -> jnp.ndarray:
+        """in_levels: number of 2x2 phase-packing levels already applied to
+        ``x``. Output gains one more level (phase_output=True) or unpacks
+        fully (phase_output=False, only valid at in_levels=0)."""
+        c_in = x.shape[-1] // (4 ** in_levels)
         # same name/shape/init as nn.ConvTranspose(transpose_kernel=True)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, self.features, c_in)
@@ -87,14 +233,70 @@ class SubpixelConvTranspose2x(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
         x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
-        pk = phase_kernel_2x(kernel)
-        y = jax.lax.conv_general_dilated(
-            x, pk,
-            window_strides=(1, 1),
-            padding=((0, 1), (0, 1)),  # taps reach x[m+1, n+1]; zero edge
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        out = depth_to_space_2x(y)
+        pk, pl = phase_kernel_2x(kernel), 0  # K2, pad (0, 1)
+        for _ in range(in_levels):
+            pk, pl = lift_once(pk, pl)
+        y = same_conv(x, pk, pl)
         if bias is not None:
-            out = out + jnp.asarray(bias, self.dtype)
-        return out
+            y = y + jnp.tile(jnp.asarray(bias, self.dtype), 4 ** (in_levels + 1))
+        if phase_output:
+            return y  # packed in_levels+1 times
+        assert in_levels == 0, "unpacked output only supported at in_levels=0"
+        return depth_to_space_2x(y)
+
+
+class PhaseableConv3x3(nn.Module):
+    """A pad-1 3x3 conv with nn.Conv's parameter names/shapes/init that can
+    also be applied directly to a phase-packed tensor (``levels`` packing
+    levels on input AND output; follow with depth_to_space_2x per level).
+    Used for the decoder output head and ResBlock convs so full-resolution,
+    narrow-channel convolutions — pathological on the 128-lane TPU layout —
+    run on a coarse grid with dense channels."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, levels: int = 0) -> jnp.ndarray:
+        c_in = x.shape[-1] // (4 ** levels)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        pk, pl = kernel, 1
+        for _ in range(levels):
+            pk, pl = lift_once(pk, pl)
+        y = same_conv(x, pk, pl)
+        return y + (jnp.tile(bias, 4 ** levels) if levels else bias)
+
+
+class LiftableStemConv(nn.Module):
+    """Stride-2 3x3 pad-1 conv (nn.Conv-compatible params) that can consume
+    one phase-packing level of its input and carry the remaining
+    ``in_levels - 1`` levels through to its output. The space-to-depth stem:
+    pack the input image k times, then each stride-2 conv consumes a level —
+    every stem activation keeps >= 128 dense channels."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, in_levels: int = 0) -> jnp.ndarray:
+        c_in = x.shape[-1] // (4 ** in_levels)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if in_levels == 0:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias
+        pk, pl = consume_once(kernel, 1)
+        for _ in range(in_levels - 1):
+            pk, pl = lift_once(pk, pl)
+        y = same_conv(x, pk, pl)
+        return y + jnp.tile(bias, 4 ** (in_levels - 1))

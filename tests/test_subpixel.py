@@ -78,3 +78,116 @@ def test_phase_kernel_layout():
                                np.asarray(w[1, 1]).T)
     assert np.all(np.asarray(pk[1, :, :, 0:2]) == 0)
     assert np.all(np.asarray(pk[:, 1, :, 0:2]) == 0)
+
+
+def test_lift_once_matches_fine_grid_conv():
+    """lift_once: a stride-1 conv on grid 2G == the lifted conv on grid G
+    applied to the packed tensor, for both kernel forms used (K3 pad 1,
+    K2 pad (0,1))."""
+    from causalvae_tpu.ops.subpixel import (
+        depth_to_space_2x, lift_once, same_conv, space_to_depth_2x,
+    )
+
+    rng = np.random.default_rng(0)
+    for k, pl in ((3, 1), (2, 0), (2, 1)):
+        x = jnp.asarray(rng.standard_normal((2, 8, 12, 5)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, 5, 4)), jnp.float32)
+        want = same_conv(x, w, pl)
+        wl, pll = lift_once(w, pl)
+        got = depth_to_space_2x(same_conv(space_to_depth_2x(x), wl, pll))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"k={k} pl={pl}")
+
+
+def test_consume_once_matches_strided_conv():
+    """consume_once: a stride-2 K3 pad-1 conv == the consumed stride-1 conv
+    on the packed input."""
+    from causalvae_tpu.ops.subpixel import consume_once, same_conv, space_to_depth_2x
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 6)), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    wc, plc = consume_once(w, 1)
+    got = same_conv(space_to_depth_2x(x), wc, plc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _vit_pair(img=(64, 96), dropout=0.1):
+    from causalvae_tpu.models.vit import ViTVAE
+
+    kw = dict(img_size=img, latent_dim=24, embed_dim=32, depth=1, heads=2,
+              mlp_dim=48, dropout=dropout)
+    return ViTVAE(packed=True, **kw), ViTVAE(packed=False, **kw)
+
+
+def test_vit_packed_matches_spatial():
+    """The phase-packed ViTVAE (stem + decoder) must match the spatial
+    formulation with the same parameters — full forward, train and eval."""
+    packed, spatial = _vit_pair()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 96, 1)),
+                    jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = spatial.init(rngs, x, rng=jax.random.PRNGKey(2), train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        packed.init(rngs, x, rng=jax.random.PRNGKey(2), train=False))
+    bs = jax.tree.map(
+        lambda a: a + 0.05 * np.random.default_rng(1)
+        .standard_normal(a.shape).astype(np.float32),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    # eval
+    out_p = packed.apply(variables, x, rng=jax.random.PRNGKey(3))
+    out_s = spatial.apply(variables, x, rng=jax.random.PRNGKey(3))
+    for a, b in zip(out_p, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    # train (dropout=0 so the attention path is deterministic); batch_stats
+    # updates must agree too
+    packed0, spatial0 = _vit_pair(dropout=0.0)
+    op, mp = packed0.apply(variables, x, rng=jax.random.PRNGKey(3), train=True,
+                           rngs={"dropout": jax.random.PRNGKey(4)},
+                           mutable=["batch_stats"])
+    os_, ms = spatial0.apply(variables, x, rng=jax.random.PRNGKey(3), train=True,
+                             rngs={"dropout": jax.random.PRNGKey(4)},
+                             mutable=["batch_stats"])
+    for a, b in zip(op, os_):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(mp), jax.tree.leaves(ms)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_vit_packed_gradients_match_spatial():
+    packed, spatial = _vit_pair(dropout=0.0)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 64, 96, 1)),
+                    jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = spatial.init(rngs, x, rng=jax.random.PRNGKey(2), train=False)
+
+    def loss(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, rng=jax.random.PRNGKey(3), train=True,
+                rngs={"dropout": jax.random.PRNGKey(4)},
+                mutable=["batch_stats"])
+            recon, xin, mu, logvar = out
+            return (jnp.sum(recon ** 2) + jnp.sum(mu ** 2)
+                    + jnp.sum(logvar ** 2)) / 1e3
+
+        return jax.grad(f)(variables["params"])
+
+    gp, gs = loss(packed), loss(spatial)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    flat_s = jax.tree_util.tree_leaves_with_path(gs)
+    for (kp, a), (_, b) in zip(flat_p, flat_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(kp))
