@@ -62,7 +62,7 @@ def bench_flagship(dtype_name: str) -> dict:
     cfg = VesselConfig()
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = CausalViTVAE(img_size=FLAGSHIP_HW, m_dim=12, t_dim=19,
-                         z_dim=cfg.z_dim, dtype=dtype)
+                         z_dim=cfg.z_dim, dtype=dtype, packed_io=True)
 
     def loss_fn(out, batch):
         return L.vessel_loss(out, batch["x"], batch["m"], beta=cfg.beta,
@@ -71,8 +71,12 @@ def bench_flagship(dtype_name: str) -> dict:
 
     step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.random((FLAGSHIP_BATCH, *FLAGSHIP_HW, 1)) > 0.9)
-                    .astype(np.float32))
+    from causalvae_tpu.ops.subpixel import space_to_depth_n
+
+    # production input pipeline delivers the image host-packed (free reshape)
+    x = jnp.asarray(space_to_depth_n(
+        (rng.random((FLAGSHIP_BATCH, *FLAGSHIP_HW, 1)) > 0.9)
+        .astype(np.float32), 3))
     m = jnp.asarray(rng.standard_normal((FLAGSHIP_BATCH, 12)).astype(np.float32))
     t = jnp.asarray(np.eye(19, dtype=np.float32)[rng.integers(0, 19, FLAGSHIP_BATCH)])
     batch = {"x": x, "m": m, "t": t}

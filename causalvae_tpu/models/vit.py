@@ -124,6 +124,13 @@ class ViTVAE(nn.Module):
     # spatial formulation (equivalence-tested), laid out for the TPU's
     # (8, 128) tiling. packed=False runs the reference spatial formulation.
     packed: bool = True
+    # packed_io=True moves the boundary transforms OUT of the step: __call__
+    # consumes x already space_to_depth_n(x, 3)-packed (B, H/8, W/8, 64) and
+    # returns the reconstruction in the same packed layout (the production
+    # input pipeline packs on host — a free numpy reshape). The training
+    # losses are pixel-permutation-invariant, so loss values/grads are
+    # identical; measured ~14 ms/step of 1-channel layout copies saved.
+    packed_io: bool = False
 
     @property
     def grid_hw(self):
@@ -167,8 +174,9 @@ class ViTVAE(nn.Module):
         if self.packed:
             # image packed 3x; each stride-2 conv consumes one level, so the
             # stem runs at (H/8, W/8) with channels 64 -> 512 -> 256 -> 128
-            for _ in range(3):
-                h = space_to_depth_2x(h)
+            if not self.packed_io:  # packed_io: x arrives pre-packed
+                for _ in range(3):
+                    h = space_to_depth_2x(h)
             in_lv = (3, 2, 1, 0, 0)
             for i, (cv, bn) in enumerate(zip(self.stem_convs, self.stem_bns)):
                 h = cv(h, in_levels=in_lv[i])
@@ -240,6 +248,8 @@ class ViTVAE(nn.Module):
         h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
         h = bn_act(4, h, 64)
         o = self.dec_out(h, levels=3)                      # (4gh, 4gw, 64)
+        if self.packed_io:
+            return o  # space_to_depth_n(recon, 3) layout
         for _ in range(3):
             o = depth_to_space_2x(o)
         return o                                           # (32gh, 32gw, 1)
@@ -268,6 +278,7 @@ class CausalViTVAE(nn.Module):
     mlp_dim: int = 512
     dtype: jnp.dtype = jnp.float32
     packed: bool = True
+    packed_io: bool = False  # see ViTVAE.packed_io
 
     def setup(self):
         d = self.dtype
@@ -280,6 +291,7 @@ class CausalViTVAE(nn.Module):
             mlp_dim=self.mlp_dim,
             dtype=d,
             packed=self.packed,
+            packed_io=self.packed_io,
         )
         self.enc_adapter_fc1 = nn.Dense(512, dtype=d)
         self.enc_adapter_bn = batch_norm(dtype=d)

@@ -104,6 +104,47 @@ def conv3x3_phase_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows)  # (3, 3, 4C_in, 4C_out)
 
 
+def space_to_depth_n(x, n: int):
+    """n nested applications of :func:`space_to_depth_2x` as ONE
+    reshape-transpose-reshape (one copy instead of n): channel nesting
+    outer->inner is [level n .. level 1], level k carrying bit k-1 of the
+    spatial offset. Works on jnp and numpy arrays alike."""
+    if n == 0:
+        return x
+    b, h, w, c = x.shape
+    f = 1 << n
+    bits = x.reshape(b, h // f, *([2] * n), w // f, *([2] * n), c)
+    # (B, H', oh_{n-1}..oh_0, W', ow_{n-1}..ow_0, C) ->
+    # (B, H', W', oh_{n-1}, ow_{n-1}, .., oh_0, ow_0, C)
+    perm = [0, 1, n + 2]
+    for k in range(n):
+        perm += [2 + k, n + 3 + k]
+    perm += [2 * n + 3]
+    bits = bits.transpose(*perm)
+    return bits.reshape(b, h // f, w // f, f * f * c)
+
+
+def depth_to_space_n(y, n: int):
+    """Inverse of :func:`space_to_depth_n` (== n nested depth_to_space_2x)."""
+    if n == 0:
+        return y
+    b, h, w, c4 = y.shape
+    f = 1 << n
+    c = c4 // (f * f)
+    bits = y.reshape(b, h, w, *([2, 2] * n), c)
+    # (B, H', W', oh_{n-1}, ow_{n-1}, .., oh_0, ow_0, C) ->
+    # (B, H', oh_{n-1}..oh_0, W', ow_{n-1}..ow_0, C)
+    perm = [0, 1]
+    for k in range(n):
+        perm += [3 + 2 * k]
+    perm += [2]
+    for k in range(n):
+        perm += [4 + 2 * k]
+    perm += [3 + 2 * n]
+    bits = bits.transpose(*perm)
+    return bits.reshape(b, h * f, w * f, c)
+
+
 def space_to_depth_2x(x: jnp.ndarray) -> jnp.ndarray:
     """(B, 2H, 2W, C) -> (B, H, W, 4C); inverse of :func:`depth_to_space_2x`
     (new phase blocks outermost)."""

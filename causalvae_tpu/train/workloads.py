@@ -192,21 +192,32 @@ def train_vessel(
     pretrained_backbone: Optional[dict] = None,
     period: int = 50,
     scan_steps: int = 0,
+    packed_io: bool = False,
 ):
     """Vessel CausalViTVAE training with the weighted/sparsity/NLL objective
     (T2/T3, ref vessel_analysis/01_train/train.py:100-203). ``period`` sets
     the periodic-checkpoint + sample-recon-PNG cadence (ref: every 50).
     ``scan_steps`` > 0 runs the epoch through the scanned device-resident loop
     (scan_steps optimizer steps per dispatch — hides host dispatch latency,
-    the production configuration on TPU)."""
+    the production configuration on TPU). ``packed_io`` feeds the step
+    space_to_depth_n(x, 3)-packed images (losses are pixel-permutation-
+    invariant, so training is identical; saves the boundary layout copies on
+    TPU — see models/vit.py ViTVAE.packed_io)."""
     from causalvae_tpu.data.vessel import iterate_batches
+    from causalvae_tpu.ops.subpixel import space_to_depth_n
 
     img_hw = img_hw or (cfg.img_height, cfg.img_width)
     epochs = epochs or cfg.epochs
     model = model or CausalViTVAE(
         img_size=img_hw, m_dim=corpus.m.shape[1], t_dim=corpus.t_dim,
         z_dim=cfg.z_dim, dtype=jnp.dtype(cfg.compute_dtype),
+        packed_io=packed_io,
     )
+
+    def pack(b):
+        if not packed_io:
+            return b
+        return {**b, "x": space_to_depth_n(np.asarray(b["x"]), 3)}
 
     def loss_fn(out, batch):
         return L.vessel_loss(
@@ -216,7 +227,7 @@ def train_vessel(
 
     step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
     eval_step = make_vae_eval_step(model, loss_fn, has_batch_stats=True)
-    b0 = next(iterate_batches(corpus, "train", 2, img_hw, shuffle_seed=0))
+    b0 = pack(next(iterate_batches(corpus, "train", 2, img_hw, shuffle_seed=0)))
 
     artifact_cb = None
     if run_dir:
@@ -225,25 +236,30 @@ def train_vessel(
 
         def artifact_cb(epoch, state):
             from causalvae_tpu.analysis.plots import recon_triptych
+            from causalvae_tpu.ops.subpixel import depth_to_space_n
 
             out = model.apply(state.variables, sample["x"], sample["m"],
                               sample["t"], rng=jax.random.PRNGKey(0),
                               train=False)
+            xs, recon = np.asarray(sample["x"]), np.asarray(out.recon_x)
+            if packed_io:
+                xs = np.asarray(depth_to_space_n(sample["x"], 3))
+                recon = np.asarray(depth_to_space_n(out.recon_x, 3))
             recon_triptych(
-                np.asarray(sample["x"]), np.asarray(out.recon_x),
+                xs, recon,
                 os.path.join(run_dir, f"recon_epoch_{epoch + 1}.png"))
 
     state, logger = _generic_train(
         model, step, eval_step,
         (jnp.asarray(b0["x"]), jnp.asarray(b0["m"]), jnp.asarray(b0["t"])),
         cfg.lr, cfg.grad_clip_norm, epochs,
-        train_iter=lambda e: iterate_batches(
+        train_iter=lambda e: map(pack, iterate_batches(
             corpus, "train", cfg.batch_size, img_hw, shuffle_seed=1000 + e
-        ),
-        val_iter=lambda: iterate_batches(
+        )),
+        val_iter=lambda: map(pack, iterate_batches(
             corpus, "val", cfg.batch_size, img_hw, augment=False,
             drop_remainder=False,
-        ),
+        )),
         seed=42, run_dir=run_dir, period=period, resume=resume,
         batch_size_of=lambda b: len(b["m"]),
         init_kwargs={"train": True},

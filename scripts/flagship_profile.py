@@ -36,9 +36,12 @@ TRACE_DIR = "/tmp/flagship_trace"
 def build_step():
     cfg = VesselConfig()
     model = CausalViTVAE(img_size=HW, m_dim=12, t_dim=19, z_dim=cfg.z_dim,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, packed_io=True)
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.random((BATCH, *HW, 1)) > 0.9).astype(np.float32))
+    from causalvae_tpu.ops.subpixel import space_to_depth_n
+
+    x = jnp.asarray(space_to_depth_n(
+        (rng.random((BATCH, *HW, 1)) > 0.9).astype(np.float32), 3))
     m = jnp.asarray(rng.standard_normal((BATCH, 12)).astype(np.float32))
     t = jnp.asarray(np.eye(19, dtype=np.float32)[rng.integers(0, 19, BATCH)])
     batch = {"x": x, "m": m, "t": t}

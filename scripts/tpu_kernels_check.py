@@ -118,6 +118,32 @@ def main() -> int:
     g_r = jax.jit(jax.grad(lambda r: sum(ke.reference_terms(r, x_img))))(recon)
     ok &= check("elbo grad", g_f, g_r, rtol=1e-4)
 
+    # 4. lane-dense Pallas BatchNorm (train stats + backward reductions) vs
+    # the plain jnp formulation, on a (B, H, W, 16) tensor that triggers the
+    # Pallas path on TPU
+    from causalvae_tpu.ops.kernels.batchnorm import bn_train
+
+    xb = jnp.asarray(rng.standard_normal((4, 48, 80, 16)).astype(np.float32))
+    sc = jnp.asarray(rng.random(16).astype(np.float32) + 0.5)
+    bi = jnp.asarray(rng.random(16).astype(np.float32))
+    yp, mp, vp_ = jax.jit(lambda x: bn_train(x, sc, bi, 1e-5, True))(xb)
+    yr, mr, vr = jax.jit(lambda x: bn_train(x, sc, bi, 1e-5, False))(xb)
+    ok &= check("bn stats mean", mp, mr, rtol=1e-5)
+    ok &= check("bn stats var", vp_, vr, rtol=1e-5)
+    ok &= check("bn fwd", yp, yr, rtol=1e-4)
+
+    def bn_loss(use_pallas):
+        def f(x, s_, b_):
+            y, _, _ = bn_train(x, s_, b_, 1e-5, use_pallas)
+            return jnp.sum(jnp.sin(y))
+
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+
+    gp = bn_loss(True)(xb, sc, bi)
+    gr = bn_loss(False)(xb, sc, bi)
+    for name_, a_, b_ in zip(("dx", "dscale", "dbias"), gp, gr):
+        ok &= check(f"bn grad {name_}", a_, b_, rtol=1e-4)
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     return 0 if ok else 1
 

@@ -191,3 +191,49 @@ def test_vit_packed_gradients_match_spatial():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(kp))
+
+
+def test_space_to_depth_n_matches_nested():
+    from causalvae_tpu.ops.subpixel import (
+        depth_to_space_2x, depth_to_space_n, space_to_depth_2x,
+        space_to_depth_n,
+    )
+
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((2, 16, 24, 3)),
+                    jnp.float32)
+    for n in (0, 1, 2, 3):
+        want = x
+        for _ in range(n):
+            want = space_to_depth_2x(want)
+        got = space_to_depth_n(x, n)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(depth_to_space_n(got, n)),
+                                      np.asarray(x))
+    # numpy input works too (host-side packing in the input pipeline)
+    got_np = space_to_depth_n(np.asarray(x), 2)
+    np.testing.assert_array_equal(got_np, np.asarray(space_to_depth_n(x, 2)))
+
+
+def test_vit_packed_io_matches():
+    """packed_io consumes a host-packed image and returns a packed recon that
+    unpacks to the spatial model's output; mu/logvar identical."""
+    from causalvae_tpu.models.vit import ViTVAE
+    from causalvae_tpu.ops.subpixel import depth_to_space_n, space_to_depth_n
+
+    kw = dict(img_size=(64, 96), latent_dim=24, embed_dim=32, depth=1,
+              heads=2, mlp_dim=48, dropout=0.0)
+    ref = ViTVAE(packed=True, **kw)
+    pio = ViTVAE(packed=True, packed_io=True, **kw)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 64, 96, 1)),
+                    jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = ref.init(rngs, x, rng=jax.random.PRNGKey(2), train=False)
+    out_r = ref.apply(variables, x, rng=jax.random.PRNGKey(3))
+    out_p = pio.apply(variables, space_to_depth_n(x, 3),
+                      rng=jax.random.PRNGKey(3))
+    recon_p = depth_to_space_n(out_p[0], 3)
+    np.testing.assert_allclose(np.asarray(recon_p), np.asarray(out_r[0]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(out_p[2:], out_r[2:]):  # mu, logvar
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -214,3 +214,30 @@ def test_train_vessel_scan_steps(tmp_path):
     assert len(losses) == 3
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_train_vessel_packed_io_matches_unpacked():
+    """packed_io trains on host-packed images; the losses are pixel-
+    permutation-invariant, so the loss trajectory must match the unpacked
+    run closely (same seeds/batches; small float drift from reordered
+    summations only)."""
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.data.vessel import synthetic_corpus
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.train import workloads as W
+
+    def run(packed_io):
+        corpus = synthetic_corpus(n=16, hw=(64, 96), seed=0)
+        cfg = VesselConfig(batch_size=4, epochs=2, z_dim=8)
+        model = CausalViTVAE(img_size=(64, 96), m_dim=12, t_dim=corpus.t_dim,
+                             z_dim=8, embed_dim=32, depth=1, heads=2,
+                             mlp_dim=64, vit_latent_dim=32,
+                             packed_io=packed_io)
+        _, _, logger = W.train_vessel(corpus, cfg, model=model,
+                                      img_hw=(64, 96), packed_io=packed_io)
+        return [r["train_loss"] for r in logger.history if "train_loss" in r]
+
+    lp, lu = run(True), run(False)
+    assert len(lp) == len(lu) == 2
+    np.testing.assert_allclose(lp, lu, rtol=1e-4)
