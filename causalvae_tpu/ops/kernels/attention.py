@@ -20,10 +20,11 @@ of the same coordinates — a pure function of position, identical across any
 block partitioning. Dropout is applied after normalization (torch semantics):
 out = sum_k keep*softmax(s)_k*v_k / (1-rate).
 
-Backward recomputes probabilities from the saved logsumexp (flash-style, two
-kernels: dq over q-blocks, dk/dv over k-blocks). Off-TPU the public entry
-falls back to XLA attention with a jax.random mask (same distribution;
-bitwise mask parity with the kernel is tested via force_pallas + interpret).
+Backward recomputes probabilities from the saved logsumexp in ONE fused
+kernel per (batch*head) — the whole (N, N) plane fits in VMEM, so dq, dk and
+dv share a single recompute of p. Off-TPU the public entry falls back to XLA
+attention with a jax.random mask (same distribution; bitwise mask parity with
+the kernel is tested via force_pallas + interpret).
 """
 
 from __future__ import annotations
@@ -156,90 +157,57 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 # --------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                   dq_ref, *, scale: float, rate: float, interpret: bool):
+def _bwd_fused_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float, rate: float,
+                      interpret: bool):
+    """One instance per (batch*head): the full (N, N) score plane lives in
+    VMEM (4 MB f32 at N=1024), so dq, dk and dv come out of ONE recompute of
+    p — the split dq/dkv kernels paid the s-dot, exp and mask twice plus an
+    8x-redundant delta."""
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
     bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    n_pad = k_ref.shape[1]
+    n_pad = q_ref.shape[1]
     q = q_ref[0]
-    ks = k_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # (BLOCK_Q, 1)
-    delta = jnp.sum(do * o, axis=1, keepdims=True)  # rowsum(dO ∘ O)
+    lse = lse_ref[0]  # (N, 1)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
     s = scale * jax.lax.dot_general(
-        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BLOCK_Q, N)
-    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, n_pad), 1)
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (N, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse)  # normalized probs; 0 on padded cols
+    p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
-        do.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())),
+        do.astype(v_ref.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BLOCK_Q, N)
+    )  # (N, N)
     if rate > 0.0:
-        bits = _keep_bits(seed, bh, qi * BLOCK_Q, 0, p.shape,
-                          interpret=interpret)
-        dp = jnp.where(keep_from_bits(bits, rate), dp * inv_keep, 0.0)
-    ds = (p * (dp - delta)).astype(q_ref.dtype)
-    dq = jax.lax.dot_general(
-        ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
-
-
-def _bwd_dkv_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                    dk_ref, dv_ref, *, scale: float, rate: float,
-                    interpret: bool):
-    from jax.experimental import pallas as pl
-
-    n_valid = meta_ref[0]
-    seed = meta_ref[1]
-    bh = pl.program_id(0)
-    kb = pl.program_id(1)
-    n_pad = q_ref.shape[1]
-    qs = q_ref[0]          # (N, D) full
-    ks = k_ref[0]          # (BLOCK_K, D) this block
-    vs = v_ref[0]
-    dos = do_ref[0].astype(jnp.float32)  # (N, D)
-    os_ = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]       # (N, 1)
-    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
-
-    s = scale * jax.lax.dot_general(
-        qs, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (N, BLOCK_K)
-    col = kb * BLOCK_K + jax.lax.broadcasted_iota(jnp.int32, (n_pad, BLOCK_K), 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse)  # (N, BLOCK_K)
-    if rate > 0.0:
-        bits = _keep_bits(seed, bh, 0, kb * BLOCK_K, p.shape,
-                          interpret=interpret)
+        bits = _keep_bits(seed, bh, 0, 0, p.shape, interpret=interpret)
         keep = keep_from_bits(bits, rate)
         pd = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
     else:
         pd = p
-    dv = jax.lax.dot_general(
-        pd.astype(dos.dtype), dos, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BLOCK_K, D)
-    dp = jax.lax.dot_general(
-        dos.astype(v_ref.dtype), vs, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, BLOCK_K)
-    if rate > 0.0:
-        dp = jnp.where(keep, dp * inv_keep, 0.0)
-    delta = jnp.sum(dos * os_, axis=1, keepdims=True)  # (N, 1)
+    delta = jnp.sum(do * o, axis=1, keepdims=True)  # (N, 1)
     ds = (p * (dp - delta)).astype(q_ref.dtype)
+    dv = jax.lax.dot_general(
+        pd.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, D)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     dk = jax.lax.dot_general(
-        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BLOCK_K, D)
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -292,59 +260,38 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, n_pad, d = q.shape
-    blk = lambda b, i: (b, i, 0)
-    full = lambda b, i: (b, 0, 0)
+    full = lambda b: (b, 0, 0)
     interp = _interpret()
-    common = dict(interpret=interp)
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, rate=rate, interpret=interp),
-        grid=(bh, n_pad // BLOCK_Q),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), blk, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d), blk, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * bh * n_pad * n_pad * d,
-            bytes_accessed=6 * bh * n_pad * d * 4,
-            transcendentals=bh * n_pad * n_pad,
-        ),
-        **common,
-    )(meta, q, k, v, do, o, lse)
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, rate=rate, interpret=interp),
-        grid=(bh, n_pad // BLOCK_K),
+    return pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, rate=rate,
+                          interpret=interp),
+        grid=(bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_K, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_K, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, 1), full, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_K, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_K, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * bh * n_pad * n_pad * d,
-            bytes_accessed=8 * bh * n_pad * d * 4,
+            flops=10 * bh * n_pad * n_pad * d,
+            bytes_accessed=9 * bh * n_pad * d * 4,
             transcendentals=bh * n_pad * n_pad,
         ),
-        **common,
+        interpret=interp,
     )(meta, q, k, v, do, o, lse)
-    return dq, dk, dv
 
 
 # --------------------------------------------------------------------------
