@@ -54,8 +54,11 @@ def _pallas_ok(x: jnp.ndarray) -> bool:
         single = False
     if not (single and _on_tpu()):
         return False
-    if c % 128 == 0 and x.shape[2] % 8 == 0:
-        return True  # direct-4D kernel
+    # NOTE: a direct-4D kernel for C % 128 == 0 was tried and REVERTED:
+    # pallas_call constrains operands to default (row-major-tiled) layouts,
+    # so XLA relayout-copies the conv outputs (whose layout puts batch on
+    # the sublanes) before every call — a net regression. Dense-channel
+    # reductions stay in XLA.
     return c < 128 and 128 % c == 0 and x.size % 128 == 0
 
 
@@ -110,81 +113,6 @@ def _dy_dyxhat_kernel(dy_ref, x_ref, mu_ref, inv_ref, s1_ref, s2_ref):
     def _acc():
         s1_ref[...] += s1
         s2_ref[...] += s2
-
-
-def _sum_sq_kernel4(x_ref, sum_ref, sq_ref):
-    from jax.experimental import pallas as pl
-
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-    xb = x_ref[0].astype(jnp.float32)  # (HB, W, C)
-    sv = jnp.sum(xb, axis=(0, 1))[None, :]
-    qv = jnp.sum(xb * xb, axis=(0, 1))[None, :]
-
-    @pl.when(first)
-    def _init():
-        sum_ref[...] = sv
-        sq_ref[...] = qv
-
-    @pl.when(jnp.logical_not(first))
-    def _acc():
-        sum_ref[...] += sv
-        sq_ref[...] += qv
-
-
-def _dy_dyxhat_kernel4(dy_ref, x_ref, mu_ref, inv_ref, s1_ref, s2_ref):
-    from jax.experimental import pallas as pl
-
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-    dy = dy_ref[0].astype(jnp.float32)
-    xb = x_ref[0].astype(jnp.float32)
-    xhat = (xb - mu_ref[...]) * inv_ref[...]  # (HB, W, C) - (1, C)
-    s1 = jnp.sum(dy, axis=(0, 1))[None, :]
-    s2 = jnp.sum(dy * xhat, axis=(0, 1))[None, :]
-
-    @pl.when(first)
-    def _init():
-        s1_ref[...] = s1
-        s2_ref[...] = s2
-
-    @pl.when(jnp.logical_not(first))
-    def _acc():
-        s1_ref[...] += s1
-        s2_ref[...] += s2
-
-
-def _reduce4d(kernel, inputs, n_outputs: int):
-    """Row-block reductions straight over the (B, H, W, C) layout (C a
-    multiple of 128) — no reshape, so no relayout copy of the big tensor.
-    inputs: 4-D arrays (reduced) or (1, C) per-lane broadcast vectors."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, w, c = inputs[0].shape
-    # largest HB dividing h with a <= ~4 MB bf16 block
-    hb = 1
-    for cand in (64, 32, 16, 8, 4, 2, 1):
-        if h % cand == 0 and cand * w * c * 2 <= (4 << 20):
-            hb = cand
-            break
-    in_specs = []
-    for a in inputs:
-        if a.ndim == 2:
-            in_specs.append(
-                pl.BlockSpec((1, c), lambda bb, i: (0, 0),
-                             memory_space=pltpu.VMEM))
-        else:
-            in_specs.append(
-                pl.BlockSpec((1, hb, w, c), lambda bb, i: (bb, i, 0, 0),
-                             memory_space=pltpu.VMEM))
-    return pl.pallas_call(
-        kernel,
-        grid=(b, h // hb),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, c), lambda bb, i: (0, 0),
-                                memory_space=pltpu.VMEM)] * n_outputs,
-        out_shape=[jax.ShapeDtypeStruct((1, c), jnp.float32)] * n_outputs,
-        interpret=not _on_tpu(),
-    )(*inputs)
 
 
 def _lane_reduce(kernel, inputs, n_outputs: int):
@@ -255,10 +183,7 @@ def _stats(x, use_pallas: bool, groups: int):
     c = x.shape[-1] // groups
     n = x.size // c
     if use_pallas:
-        if x.shape[-1] % 128 == 0:
-            s, q = _reduce4d(_sum_sq_kernel4, [x], 2)
-        else:
-            s, q = _lane_reduce(_sum_sq_kernel, [x.reshape(-1, 128)], 2)
+        s, q = _lane_reduce(_sum_sq_kernel, [x.reshape(-1, 128)], 2)
         total = s.reshape(-1, c).sum(0)
         total_sq = q.reshape(-1, c).sum(0)
         mean = total / n
@@ -301,16 +226,10 @@ def _bn_train_bwd(epsilon, use_pallas, groups, res, cots):
     mean_t = _gtile(mean, groups)
     inv_t = _gtile(inv, groups)
     if use_pallas:
-        if x.shape[-1] % 128 == 0:
-            s1l, s2l = _reduce4d(
-                _dy_dyxhat_kernel4,
-                [dy, x, mean_t.astype(jnp.float32)[None, :],
-                 inv_t.astype(jnp.float32)[None, :]], 2)
-        else:
-            s1l, s2l = _lane_reduce(
-                _dy_dyxhat_kernel,
-                [dy.reshape(-1, 128), x.reshape(-1, 128),
-                 _tile(mean_t), _tile(inv_t)], 2)
+        s1l, s2l = _lane_reduce(
+            _dy_dyxhat_kernel,
+            [dy.reshape(-1, 128), x.reshape(-1, 128),
+             _tile(mean_t), _tile(inv_t)], 2)
         s1 = s1l.reshape(-1, c).sum(0)           # Σ dy
         s2 = s2l.reshape(-1, c).sum(0)           # Σ dy·x̂
     else:

@@ -156,27 +156,10 @@ def test_bn_groups_phase_equivalence():
                                np.asarray(y_sp), rtol=1e-5, atol=1e-6)
 
 
-def test_bn_train_pallas_4d_matches_jnp():
-    """The direct-4D reduction kernel (C % 128 == 0 — phase-packed dense
-    activations), interpret mode, vs the jnp formulation, incl. groups."""
-    x = jnp.asarray(np.random.default_rng(10).standard_normal((2, 8, 8, 256)),
-                    jnp.float32)
-    scale = jnp.asarray(np.random.rand(64) + 0.5, jnp.float32)
-    bias = jnp.asarray(np.random.rand(64), jnp.float32)
+def test_bn_train_dense_channels_use_jnp_path():
+    """C % 128 == 0 (phase-packed dense activations) must NOT take the
+    Pallas lane path — XLA partitions those reductions well and pallas_call's
+    operand layout constraints would force relayout copies of conv outputs."""
+    from causalvae_tpu.ops.kernels.batchnorm import _pallas_ok
 
-    yp, mp, vp = bn_train(x, scale, bias, 1e-5, True, 4)
-    yr, mr, vr = bn_train(x, scale, bias, 1e-5, False, 4)
-    np.testing.assert_allclose(np.asarray(yp), np.asarray(yr), rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(mp), np.asarray(mr), rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(vp), np.asarray(vr), rtol=1e-5, atol=1e-7)
-
-    def g(use_pallas):
-        def f(x, s, b):
-            y, _, _ = bn_train(x, s, b, 1e-5, use_pallas, 4)
-            return jnp.sum(jnp.cos(y))
-
-        return jax.grad(f, argnums=(0, 1, 2))(x, scale, bias)
-
-    for a, b in zip(g(True), g(False)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+    assert not _pallas_ok(jnp.zeros((2, 8, 8, 256)))
