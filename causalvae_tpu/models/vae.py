@@ -237,13 +237,21 @@ class CausalVesselVAE(nn.Module):
     z_dim: int = 128
     grid_hw: Tuple[int, int] = (6, 10)  # input 768x1280 / 2^7
     dtype: jnp.dtype = jnp.float32
+    # phase-packed execution (ops/subpixel.py, same scheme as ViTVAE.packed):
+    # the encoder consumes a space-to-depth-packed image and the decoder's
+    # narrow-channel full-resolution stages run on coarse grids with dense
+    # channels. Identical parameters/math (equivalence-tested).
+    packed: bool = True
 
     ENC_CH = (32, 64, 128, 256, 512, 512, 512)
     DEC_CH = (512, 512, 256, 128, 64, 32)
 
     def setup(self):
+        from causalvae_tpu.ops.subpixel import LiftableStemConv
+
         d = self.dtype
-        self.enc_convs = [conv(c, 4, 2, 1, dtype=d) for c in self.ENC_CH]
+        self.enc_convs = [LiftableStemConv(c, ksize=4, dtype=d)
+                          for c in self.ENC_CH]
         self.enc_bns = [batch_norm(dtype=d) for _ in self.ENC_CH]
         self.enc_fc1 = nn.Dense(1024, dtype=d)
         self.enc_fc_bn = batch_norm(dtype=d)
@@ -256,15 +264,32 @@ class CausalVesselVAE(nn.Module):
         self.dec_fc_bn = batch_norm(dtype=d)
         gh, gw = self.grid_hw
         self.dec_fc2 = nn.Dense(gh * gw * 512, dtype=d)
-        self.dec_convs = [conv(c, 3, 1, 1, dtype=d) for c in self.DEC_CH]
+        from causalvae_tpu.ops.subpixel import PhaseableConv3x3
+
+        self.dec_convs = [PhaseableConv3x3(c, dtype=d) for c in self.DEC_CH]
         self.dec_bns = [batch_norm(dtype=d) for _ in self.DEC_CH]
-        self.dec_out = conv(1, 3, 1, 1, dtype=d)
+        self.dec_out = PhaseableConv3x3(1, dtype=d)
 
     def encode(self, x, m, t, train: bool = False):
+        from causalvae_tpu.ops.subpixel import space_to_depth_2x
+
         h = x
-        for cv, bn in zip(self.enc_convs, self.enc_bns):
-            h = bn(cv(h), use_running_average=not train)
-            h = nn.leaky_relu(h, 0.2)
+        if self.packed:
+            # image packed 3x; the first three stride-2 convs each consume a
+            # level, so the early stages run at (H/8, W/8) with 512/256/128
+            # dense channels instead of (H/2..H/8) with 32/64 lane-padded
+            for _ in range(3):
+                h = space_to_depth_2x(h)
+            in_lv = (3, 2, 1) + (0,) * (len(self.enc_convs) - 3)
+            for i, (cv, bn) in enumerate(zip(self.enc_convs, self.enc_bns)):
+                h = cv(h, in_levels=in_lv[i])
+                g = 4 ** max(in_lv[i] - 1, 0)
+                h = bn(h, use_running_average=not train, groups=g)
+                h = nn.leaky_relu(h, 0.2)
+        else:
+            for cv, bn in zip(self.enc_convs, self.enc_bns):
+                h = bn(cv(h), use_running_average=not train)
+                h = nn.leaky_relu(h, 0.2)
         h = h.reshape(h.shape[0], -1)
         h = jnp.concatenate([h, m.astype(h.dtype), t.astype(h.dtype)], axis=1)
         h = self.enc_fc_bn(self.enc_fc1(h), use_running_average=not train)
@@ -281,12 +306,54 @@ class CausalVesselVAE(nn.Module):
         h = nn.relu(self.dec_fc2(h))
         gh, gw = self.grid_hw
         h = h.reshape(-1, gh, gw, 512)
-        for cv, bn in zip(self.dec_convs, self.dec_bns):
+        if not self.packed:
+            for cv, bn in zip(self.dec_convs, self.dec_bns):
+                h = upsample2x_nearest(h)
+                h = bn(cv(h), use_running_average=not train)
+                h = nn.relu(h)
             h = upsample2x_nearest(h)
-            h = bn(cv(h), use_running_average=not train)
+            return nn.sigmoid(self.dec_out(h))
+        # Packed: stages 0-3 are channel-dense and run spatially; stages 4-5
+        # and the output head run phase-packed (nearest-2x upsample in phase
+        # space == channel tile x4; convs via lift_once), keeping >= 128
+        # dense channels on coarse grids throughout.
+        from causalvae_tpu.ops.subpixel import depth_to_space_2x
+
+        def tile4(a):
+            # nearest-2x upsample of a SPATIAL tensor, in phase space: the
+            # four (new, finest-level) phases all equal the source pixel
+            return jnp.tile(a, (1, 1, 1, 4))
+
+        def tile4_inner(a, c_real):
+            # same, for an ALREADY-PACKED tensor: the new phases are the
+            # finest level, so they nest INSIDE the existing phase blocks
+            # (channel layout [coarser phases][new phase][c])
+            b_, h_, w_, ch = a.shape
+            p_ = ch // c_real
+            a = a.reshape(b_, h_, w_, p_, 1, c_real)
+            a = jnp.broadcast_to(a, (b_, h_, w_, p_, 4, c_real))
+            return a.reshape(b_, h_, w_, p_ * 4 * c_real)
+
+        for i in range(4):
+            h = upsample2x_nearest(h)
+            h = self.dec_bns[i](self.dec_convs[i](h),
+                                use_running_average=not train)
             h = nn.relu(h)
-        h = upsample2x_nearest(h)
-        return nn.sigmoid(self.dec_out(h))
+        h = tile4(h)                                   # up #4 in phase space
+        h = self.dec_convs[4](h, levels=1)             # L1 of (16gh, 16gw, 64)
+        h = self.dec_bns[4](h, use_running_average=not train, groups=4)
+        h = nn.relu(h)
+        h = depth_to_space_2x(h)                       # spatial (32gh, 32gw, 64)
+        h = tile4(h)                                   # up #5 in phase space
+        h = self.dec_convs[5](h, levels=1)             # L1 of (32gh, 32gw, 32)
+        h = self.dec_bns[5](h, use_running_average=not train, groups=4)
+        h = nn.relu(h)
+        h = tile4_inner(h, self.DEC_CH[5])             # final up in phase space
+        o = self.dec_out(h, levels=2)                  # L2 of (64gh,64gw,1): 16ch
+        o = nn.sigmoid(o)
+        for _ in range(2):
+            o = depth_to_space_2x(o)
+        return o
 
     def predict_m(self, t):
         return self.morph.mean(t)

@@ -313,24 +313,28 @@ class PhaseableConv3x3(nn.Module):
 
 
 class LiftableStemConv(nn.Module):
-    """Stride-2 3x3 pad-1 conv (nn.Conv-compatible params) that can consume
-    one phase-packing level of its input and carry the remaining
-    ``in_levels - 1`` levels through to its output. The space-to-depth stem:
-    pack the input image k times, then each stride-2 conv consumes a level —
-    every stem activation keeps >= 128 dense channels."""
+    """Stride-2 KxK pad-1 conv (nn.Conv-compatible params; torch-equivalent
+    output size for K in {3, 4}) that can consume one phase-packing level of
+    its input and carry the remaining ``in_levels - 1`` levels through to its
+    output. The space-to-depth stem: pack the input image k times, then each
+    stride-2 conv consumes a level — every stem activation keeps >= 128
+    dense channels."""
 
     features: int
+    ksize: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, in_levels: int = 0) -> jnp.ndarray:
         c_in = x.shape[-1] // (4 ** in_levels)
+        k = self.ksize
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features)
+            "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
         if in_levels == 0:
+            # torch Conv2d(k, stride=2, padding=1): pad (1, 1) for k=3/4
             y = jax.lax.conv_general_dilated(
                 x, kernel, window_strides=(2, 2), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
