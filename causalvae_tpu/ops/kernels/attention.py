@@ -160,56 +160,69 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 def _bwd_fused_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, *, scale: float, rate: float,
                       interpret: bool):
-    """One instance per (batch*head): the full (N, N) score plane lives in
-    VMEM (4 MB f32 at N=1024), so dq, dk and dv come out of ONE recompute of
-    p — the split dq/dkv kernels paid the s-dot, exp and mask twice plus an
-    8x-redundant delta."""
+    """Fused backward: dq, dk and dv from ONE recompute of p.
+
+    Grid is (batch*head, q-chunks): each instance handles a CHUNK_Q row band
+    of the score plane (three (CHUNK_Q, N) f32 temporaries — the full (N, N)
+    plane at f32 blew the 16 MB scoped-VMEM limit), writes its dq band and
+    accumulates partial dk/dv into the revisited full-row output blocks."""
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
     bh = pl.program_id(0)
-    n_pad = q_ref.shape[1]
-    q = q_ref[0]
-    k = k_ref[0]
+    ci = pl.program_id(1)
+    chunk = q_ref.shape[1]
+    n_pad = k_ref.shape[1]
+    q = q_ref[0]           # (CHUNK, D)
+    k = k_ref[0]           # (N, D)
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # (N, 1)
+    lse = lse_ref[0]       # (CHUNK, 1)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
     s = scale * jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (N, N)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    )  # (CHUNK, N)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_pad), 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do.astype(v_ref.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (N, N)
+    )  # (CHUNK, N)
     if rate > 0.0:
-        bits = _keep_bits(seed, bh, 0, 0, p.shape, interpret=interpret)
+        bits = _keep_bits(seed, bh, ci * chunk, 0, p.shape,
+                          interpret=interpret)
         keep = keep_from_bits(bits, rate)
         pd = jnp.where(keep, p * inv_keep, 0.0)
         dp = jnp.where(keep, dp * inv_keep, 0.0)
     else:
         pd = p
-    delta = jnp.sum(do * o, axis=1, keepdims=True)  # (N, 1)
+    delta = jnp.sum(do * o, axis=1, keepdims=True)  # (CHUNK, 1)
     ds = (p * (dp - delta)).astype(q_ref.dtype)
-    dv = jax.lax.dot_general(
+    dv_part = jax.lax.dot_general(
         pd.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (N, D)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dk = jax.lax.dot_general(
+    dk_part = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    )  # (N, D)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(ci == 0)
+    def _init():
+        dk_ref[0] = (dk_part * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_part.astype(dv_ref.dtype)
+
+    @pl.when(ci > 0)
+    def _acc():
+        dk_ref[0] += (dk_part * scale).astype(dk_ref.dtype)
+        dv_ref[0] += dv_part.astype(dv_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -260,23 +273,25 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, n_pad, d = q.shape
-    full = lambda b: (b, 0, 0)
+    chunk = min(n_pad, 512)
+    blk = lambda b, i: (b, i, 0)
+    full = lambda b, i: (b, 0, 0)
     interp = _interpret()
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, scale=scale, rate=rate,
                           interpret=interp),
-        grid=(bh,),
+        grid=(bh, n_pad // chunk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, 1), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 1), blk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
         ],
