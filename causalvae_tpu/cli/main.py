@@ -334,6 +334,33 @@ def cmd_analyze(args):
         by_cond = {c: ds.m[ds.labels == c] for c in range(10)}
         a, b = args.pair
         out["causal"] = causal_validation_report(by_cond, a, b, names)
+    if args.what in ("mediation", "all"):
+        # I7: MC mediation decomposition for the digit pair (ref mnist_test/
+        # 05_feature_analysis/analyze_mediation.py:120-201)
+        import jax
+
+        from causalvae_tpu.scm.intervene import (abduct, mediation_contributions,
+                                                 predict_m)
+
+        a, b = args.pair
+        ia = np.nonzero(ds.labels == a)[0][:40]
+        ib = np.nonzero(ds.labels == b)[0][:40]
+        za = abduct(vae, variables, jnp.asarray(ds.x[ia]), jnp.asarray(ds.m[ia]),
+                    jnp.asarray(ds.t[ia]))
+        zb = abduct(vae, variables, jnp.asarray(ds.x[ib]), jnp.asarray(ds.m[ib]),
+                    jnp.asarray(ds.t[ib]))
+        m_ab = predict_m(vae, variables, jnp.eye(cfg.t_dim, dtype=jnp.float32))
+        res = mediation_contributions(vae, variables, m_ab[a], m_ab[b], za, zb,
+                                      jax.random.PRNGKey(0), n_mc=50)
+        fpct = np.asarray(res["feature_contribution_pct"]).mean(axis=0)
+        out["mediation"] = {
+            "pair": [a, b],
+            "m_pct_mean": float(np.asarray(res["m_contribution_pct"]).mean()),
+            "m_pct_std": float(np.asarray(res["m_contribution_pct"]).std()),
+            "z_pct_mean": float(np.asarray(res["z_contribution_pct"]).mean()),
+            "z_pct_std": float(np.asarray(res["z_contribution_pct"]).std()),
+            "feature_pct": {n: float(v) for n, v in zip(names, fpct)},
+        }
     print(json.dumps(out, indent=1, default=str))
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, f"analyze_{args.what}.json"), "w") as f:
@@ -485,7 +512,7 @@ def build_parser() -> argparse.ArgumentParser:
     a = sub.add_parser("analyze")
     a.add_argument("what", choices=["mechanism", "residual", "importance",
                                     "gradcam", "independence", "uncertainty",
-                                    "causal", "all"])
+                                    "causal", "mediation", "all"])
     a.add_argument("--epochs", type=int)
     a.add_argument("--pair", type=int, nargs=2, default=(1, 8))
     a.add_argument("--bayesian", action="store_true",

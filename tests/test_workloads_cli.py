@@ -241,3 +241,16 @@ def test_train_vessel_packed_io_matches_unpacked():
     lp, lu = run(True), run(False)
     assert len(lp) == len(lu) == 2
     np.testing.assert_allclose(lp, lu, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_cli_analyze_mediation(tmp_path):
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path), "--n", "256", "analyze", "mediation",
+          "--epochs", "1", "--pair", "1", "8"])
+    rep = json.load(open(os.path.join(str(tmp_path), "analyze_mediation.json")))
+    med = rep["mediation"]
+    assert med["pair"] == [1, 8]
+    assert np.isfinite(med["m_pct_mean"]) and np.isfinite(med["z_pct_mean"])
+    assert len(med["feature_pct"]) == 12
