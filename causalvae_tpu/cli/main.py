@@ -69,7 +69,9 @@ def cmd_train(args):
             hw = (96, 160)
         else:
             hw = (cfg.img_height, cfg.img_width)
-        W.train_vessel(corpus, cfg, img_hw=hw, run_dir=run_dir, resume=args.resume)
+        W.train_vessel(corpus, cfg, img_hw=hw, run_dir=run_dir, resume=args.resume,
+                       packed_io=getattr(args, "packed_io", False),
+                       scan_steps=getattr(args, "scan_steps", 0) or 0)
     elif args.workload == "cvae":
         ds = _mnist_dataset(args)
         W.train_cvae(ds, epochs=args.epochs or 30, run_dir=run_dir)
@@ -497,6 +499,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"),
                    help="vessel training resolution override "
                         "(default: reference 768x1280 for file-backed corpora)")
+    t.add_argument("--packed-io", action="store_true",
+                   help="feed the vessel step host-packed images (TPU "
+                        "production config; identical training — see "
+                        "docs/TPU_DESIGN.md)")
+    t.add_argument("--scan-steps", type=int, default=0,
+                   help="optimizer steps per dispatch via the scanned "
+                        "device-resident loop (0 = eager)")
     t.set_defaults(fn=cmd_train)
 
     k = sub.add_parser("kfold")
