@@ -94,7 +94,7 @@ def bench_flagship(dtype_name: str) -> dict:
     variables = model.init({"params": key, "dropout": key}, x[:1], m[:1], t[:1],
                            rng=key, train=True)
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
-                     optax.adam(cfg.lr))
+                     optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     state = TrainState.create(variables, tx)
 
     jstep = jax.jit(step, donate_argnums=0)

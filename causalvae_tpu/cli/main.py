@@ -62,7 +62,8 @@ def cmd_train(args):
         from causalvae_tpu.config import VesselConfig
 
         cfg = VesselConfig(epochs=args.epochs or 150,
-                           batch_size=args.batch_size or 8)
+                           batch_size=args.batch_size or 8,
+                           compute_dtype=getattr(args, "dtype", None) or "float32")
         if getattr(args, "img_hw", None):
             hw = tuple(args.img_hw)
         elif corpus.raw_images is not None:
@@ -147,7 +148,8 @@ def _kfold_train(args, corpus, n_folds: int):
                           jnp.asarray(corpus.m[:2]),
                           jnp.asarray(data["t"][:2]), rng=k, train=True)
 
-    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), optax.adam(cfg.lr))
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                     optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     states, plan, history = KF.train_kfold(
         init_one=init_one, step_fn=step, eval_fn=eval_step, tx=tx,
         data=data, labels=corpus.t_idx, epochs=args.epochs or 5,
@@ -289,6 +291,17 @@ def cmd_analyze(args):
             "phase2_ranking": p2["ranking"],
             "comparison": compare_phases(p1, p2, names),
         }
+        if getattr(args, "print_data", False):
+            # raw un-normalized sensitivities side by side (ref mnist_test/
+            # 04_phase_comparison/print_data.py raw-ranking dump)
+            out["importance"]["raw"] = {
+                "phase1_sensitivity": p1["sensitivity"],
+                "phase2_sensitivity": p2["sensitivity"],
+            }
+            print(f"{'feature':<14s} {'phase1_raw':>12s} {'phase2_raw':>12s}")
+            for n in names:
+                print(f"{n:<14s} {p1['sensitivity'][n]:>12.6f} "
+                      f"{p2['sensitivity'][n]:>12.6f}")
     if args.what in ("residual", "all"):
         from causalvae_tpu.analysis.residual import residual_leakage_analysis
 
@@ -405,6 +418,16 @@ def cmd_counterfactual(args):
         plots.recon_triptych(ds.x[:4], np.asarray(out[:4]),
                              os.path.join(args.out, "z_permute.png"))
         print(f"[counterfactual] z-permute {out.shape} -> z_permute.png")
+    elif args.mode == "recon":
+        # reconstruction triptych (ref mnist_test/02_mechanism_analysis/
+        # visualize_phase1_recon.py:13-76): original | recon | |residual|
+        out = vae.apply(variables, x[:4], m[:4], t[:4],
+                        rng=jax.random.PRNGKey(0))
+        recon = np.asarray(out.recon_x)
+        plots.recon_triptych(ds.x[:4], recon,
+                             os.path.join(args.out, "recon_triptych.png"),
+                             uncertainty=np.abs(ds.x[:4] - recon))
+        print(f"[counterfactual] recon {recon.shape} -> recon_triptych.png")
 
 
 def cmd_translate(args):
@@ -506,6 +529,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--scan-steps", type=int, default=0,
                    help="optimizer steps per dispatch via the scanned "
                         "device-resident loop (0 = eager)")
+    t.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   help="vessel compute dtype (bfloat16 = TPU production "
+                        "config; params stay float32)")
     t.set_defaults(fn=cmd_train)
 
     k = sub.add_parser("kfold")
@@ -527,11 +553,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--bayesian", action="store_true",
                    help="train the Gaussian-mechanism variant (enables the "
                         "uncertainty table)")
+    a.add_argument("--print-data", action="store_true",
+                   help="dump the raw un-normalized phase-1/phase-2 "
+                        "sensitivities (ref print_data.py)")
     a.add_argument("--data")
     a.set_defaults(fn=cmd_analyze)
 
     c = sub.add_parser("counterfactual")
-    c.add_argument("mode", choices=["do-t", "do-m", "z-permute"])
+    c.add_argument("mode", choices=["do-t", "do-m", "z-permute", "recon"])
     c.add_argument("--epochs", type=int)
     c.add_argument("--data")
     c.set_defaults(fn=cmd_counterfactual)

@@ -219,13 +219,23 @@ class ViTVAE(nn.Module):
                 if i < len(self.dec_res):
                     h = self.dec_res[i](h, train=train)
             return self.dec_out(h)
-        # Phase-packed decoder (ops/subpixel.py): after stage 0 every
-        # activation stays on a coarse grid with >= 128 dense channels —
-        # the narrow-channel full-resolution tensors of the spatial
-        # formulation (8x lane-padded under the TPU's (8, 128) tiling, with
-        # C=16/C=1 convolutions starving the MXU) never materialize; the
-        # full 768x1280 grid appears only as the final 1-channel output.
+        # Phase-packed decoder (ops/subpixel.py): every activation keeps >= 64
+        # dense channels — the narrow-channel full-resolution tensors of the
+        # spatial formulation (8x lane-padded under the TPU's (8, 128) tiling,
+        # with C=16/C=1 convolutions starving the MXU) never materialize.
         # Identical parameters and math (equivalence-tested).
+        #
+        # Packing LEVEL per stage is the minimum that keeps channels >= 128
+        # (lane-dense): a lifted conv carries 4^L-inflated structurally-zero
+        # MXU work (a level-2 lifted 3x3 ResBlock conv costs 145 GF/pass vs
+        # 36 GF at level 1 for the same 9 GF of useful math), so dec_res_2
+        # runs at level 1 on the finer grid (the d2s that followed it moved
+        # before it — free, C stays 128). Pushing the LAST stages
+        # (dec_res_3/dec_ct_4/dec_out) down a level too was measured and
+        # REVERTED: it halves XLA flops (4.41 -> 2.23 TF) but the C=64/C=16
+        # tensors' lane padding and extra copies grow bytes 28.6 -> 35.2 GB
+        # and the step gets slightly slower — at these shapes the step is
+        # HBM-bound, so those stages keep the byte-optimal level-2/3 forms.
         from causalvae_tpu.ops.subpixel import depth_to_space_2x
 
         def bn_act(i, h, groups):
@@ -240,8 +250,8 @@ class ViTVAE(nn.Module):
         h = self.dec_res[1](h, train=train, levels=1)
         h = self.dec_ct[2](h, phase_output=True, in_levels=1)  # L2: 512
         h = bn_act(2, h, 16)
-        h = self.dec_res[2](h, train=train, levels=2)
         h = depth_to_space_2x(h)                           # L1: (4gh, 4gw, 128)
+        h = self.dec_res[2](h, train=train, levels=1)
         h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
         h = bn_act(3, h, 16)
         h = self.dec_res[3](h, train=train, levels=2)

@@ -35,8 +35,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BLOCK_Q = 128
-BLOCK_K = 128
+BLOCK_Q = 128   # PRNG tile rows — fixed: dropout masks are keyed per 128x128
+BLOCK_K = 128   # PRNG tile cols — score tile, identical across fwd/bwd kernels
+# Grid block sizes (independent of the PRNG tile): fewer, larger kernel
+# instances amortize Mosaic's per-instance overhead — at the flagship shape
+# (64 bh x 1024 tokens) a 128-row forward grid is 512 instances of ~30 us of
+# VPU work each, and instance overhead dominated the measured kernel time.
+FWD_ROWS = 512  # q rows per forward instance (VMEM: 2 x (512, N) f32 + bits)
+BWD_ROWS = 512  # q rows per backward instance (3 x (512, N) f32 temporaries)
 NEG_INF = -1e30
 LSE_PAD = 1e30  # logsumexp sentinel for fully-masked (padded) query rows
 
@@ -123,12 +129,13 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     n_pad = k_ref.shape[1]
-    q = q_ref[0]  # (BLOCK_Q, D), input dtype — MXU takes bf16 natively
+    rows = q_ref.shape[1]
+    q = q_ref[0]  # (rows, D), input dtype — MXU takes bf16 natively
     ks = k_ref[0]  # (N, D)
     s = scale * jax.lax.dot_general(
         q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BLOCK_Q, N) f32
-    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_Q, n_pad), 1)
+    )  # (rows, N) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
     s = jnp.where(col < n_valid, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
@@ -136,7 +143,7 @@ def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     # after softmax); only the value accumulation is masked
     l = jnp.sum(p, axis=1, keepdims=True)
     if rate > 0.0:
-        bits = _keep_bits(seed, bh, qi * BLOCK_Q, 0, p.shape,
+        bits = _keep_bits(seed, bh, qi * rows, 0, p.shape,
                           interpret=interpret)
         p = jnp.where(keep_from_bits(bits, rate), p, 0.0)
     acc = jax.lax.dot_general(
@@ -240,20 +247,21 @@ def _fwd_call(q, k, v, meta, scale: float, rate: float):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, n_pad, d = q.shape
-    grid = (bh, n_pad // BLOCK_Q)
+    rows = FWD_ROWS if n_pad % FWD_ROWS == 0 else BLOCK_Q
+    grid = (bh, n_pad // rows)
     interp = _interpret()
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, rate=rate, interpret=interp),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
@@ -273,7 +281,7 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
     from jax.experimental.pallas import tpu as pltpu
 
     bh, n_pad, d = q.shape
-    chunk = min(n_pad, 512)
+    chunk = min(n_pad, BWD_ROWS)
     blk = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
     interp = _interpret()

@@ -114,15 +114,17 @@ def _generic_train(
     init_kwargs: Optional[Dict] = None,
     artifact_cb: Optional[Callable[[int, TrainState], None]] = None,
     scan_steps: int = 0,
+    mu_dtype=None,
 ):
     key = jax.random.PRNGKey(seed)
     variables = model.init(
         {"params": key, "dropout": key}, *init_batch, rng=key,
         **(init_kwargs or {}),
     )
-    tx = optax.adam(cfg_lr)
+    tx = optax.adam(cfg_lr, mu_dtype=mu_dtype)
     if grad_clip:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(cfg_lr))
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip),
+                         optax.adam(cfg_lr, mu_dtype=mu_dtype))
     state = TrainState.create(variables, tx)
     jstep = jax.jit(step)
     jeval = jax.jit(eval_step) if eval_step else None
@@ -265,6 +267,7 @@ def train_vessel(
         init_kwargs={"train": True},
         artifact_cb=artifact_cb,
         scan_steps=scan_steps,
+        mu_dtype=jnp.dtype(cfg.adam_mu_dtype),
     )
     return model, state, logger
 

@@ -56,7 +56,7 @@ def build_step():
 
     step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
-                     optax.adam(cfg.lr))
+                     optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     state = TrainState.create(variables, tx)
     compiled = jax.jit(step).lower(state, batch, key).compile()
     return compiled, state, batch, key

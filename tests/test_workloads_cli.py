@@ -89,17 +89,73 @@ def test_cli_counterfactual_do_t(tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_analyze_importance(tmp_path):
+def test_cli_analyze_importance(tmp_path, capsys):
     from causalvae_tpu.cli.main import main
 
     main(["--out", str(tmp_path), "--n-synthetic", "48",
-          "analyze", "importance", "--epochs", "1"])
+          "analyze", "importance", "--epochs", "1", "--print-data"])
     with open(os.path.join(str(tmp_path), "analyze_importance.json")) as f:
         out = json.load(f)
     imp = out["importance"]
     assert len(imp["phase1_ranking"]) == 12
     assert len(imp["phase2_ranking"]) == 12
     assert "rank_correlation" in imp["comparison"]
+    # --print-data: raw un-normalized sensitivities (ref print_data.py)
+    assert len(imp["raw"]["phase1_sensitivity"]) == 12
+    assert "phase1_raw" in capsys.readouterr().out
+
+
+def test_cli_train_vessel_wires_packed_io(monkeypatch, tmp_path):
+    """Production-config wiring (ref vessel_analysis/01_train/main.py:1-8):
+    `train vessel --img-hw 768 1280 --packed-io --scan-steps N` must reach
+    train_vessel with exactly those settings, and the model built for that
+    config must consume/produce the host-packed (H/8, W/8, 64) layout —
+    shape-only via jax.eval_shape, no compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from causalvae_tpu.cli.main import main
+    from causalvae_tpu.train import workloads as W
+
+    seen = {}
+
+    def fake_train_vessel(corpus, cfg, **kw):
+        seen.update(kw)
+
+    monkeypatch.setattr(W, "train_vessel", fake_train_vessel)
+    main(["--out", str(tmp_path), "--n-synthetic", "8", "train", "vessel",
+          "--img-hw", "768", "1280", "--packed-io", "--scan-steps", "4",
+          "--epochs", "1"])
+    assert seen["img_hw"] == (768, 1280)
+    assert seen["packed_io"] is True
+    assert seen["scan_steps"] == 4
+
+    from causalvae_tpu.models.vit import CausalViTVAE
+
+    model = CausalViTVAE(img_size=(768, 1280), m_dim=12, t_dim=19, z_dim=128,
+                         packed_io=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.ShapeDtypeStruct((2, 96, 160, 64), jnp.float32)
+    m = jax.ShapeDtypeStruct((2, 12), jnp.float32)
+    t = jax.ShapeDtypeStruct((2, 19), jnp.float32)
+    variables = jax.eval_shape(
+        lambda a, b, c: model.init({"params": key, "dropout": key}, a, b, c,
+                                   rng=key, train=True), x, m, t)
+    out = jax.eval_shape(
+        lambda v, a, b, c: model.apply(v, a, b, c, rng=key, train=False),
+        variables, x, m, t)
+    assert out.recon_x.shape == (2, 96, 160, 64)
+
+
+@pytest.mark.slow
+def test_cli_counterfactual_recon(tmp_path):
+    """recon triptych CLI hook (ref mnist_test/02_mechanism_analysis/
+    visualize_phase1_recon.py:13-76)."""
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path), "--n-synthetic", "48",
+          "counterfactual", "recon", "--epochs", "1"])
+    assert os.path.getsize(os.path.join(str(tmp_path), "recon_triptych.png")) > 0
 
 
 @pytest.mark.slow
