@@ -31,7 +31,8 @@ import pytest  # noqa: E402
 
 def pytest_collection_modifyitems(config, items):
     """Every test not marked ``slow`` is part of the ``quick`` tier
-    (``pytest -m quick`` ~= 3 min vs ~25 min full, VERDICT r1 item 10)."""
+    (``pytest -m quick`` ~= 8 min vs ~25-50 min full on this 1-core
+    host; both compile-bound)."""
     for item in items:
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.quick)

@@ -118,6 +118,7 @@ def test_vit_vae_shapes_tiny():
     assert variables["params"]["pos_embedding"].shape == (1, 5, 64)
 
 
+@pytest.mark.slow
 def test_causal_vit_vae_shapes_tiny():
     model = M.CausalViTVAE(
         img_size=(64, 64), z_dim=16, vit_latent_dim=32, embed_dim=64, depth=2, mlp_dim=128

@@ -124,6 +124,7 @@ def _vit_pair(img=(64, 96), dropout=0.1):
     return ViTVAE(packed=True, **kw), ViTVAE(packed=False, **kw)
 
 
+@pytest.mark.slow
 def test_vit_packed_matches_spatial():
     """The phase-packed ViTVAE (stem + decoder) must match the spatial
     formulation with the same parameters — full forward, train and eval."""
@@ -164,6 +165,7 @@ def test_vit_packed_matches_spatial():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vit_packed_gradients_match_spatial():
     packed, spatial = _vit_pair(dropout=0.0)
     x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 64, 96, 1)),
