@@ -345,3 +345,172 @@ class LiftableStemConv(nn.Module):
             pk, pl = lift_once(pk, pl)
         y = same_conv(x, pk, pl)
         return y + jnp.tile(bias, 4 ** (in_levels - 1))
+
+
+# --------------------------------------------------------------------------
+# Anisotropic ("flat-offset") phase packing
+# --------------------------------------------------------------------------
+#
+# The isotropic lift above adds one 2x2 level per application, so the packed
+# channel count per REAL channel is 4^L while the kernel's structural-zero
+# inflation is also 4^L. For narrow stages (C_real = 16) lane-density
+# (C >= 128) forces L = 2 -> 16x-inflated MXU work. Packing the two axes
+# UNEVENLY reaches the same channel count with fewer total levels of
+# inflation: (lh, lw) = (2, 1) gives 8 phases (C = 128 at C_real = 16) with
+# only 2^(lh+lw) = 8x inflation — half the zero work, still lane-dense.
+#
+# MEASURED at the flagship (768x1280 batch-8 bf16 vessel step, v5e, round 3):
+# rewiring the last two decoder stages through flat(2,1)/flat(3,2) cut
+# XLA-counted flops 3.77 -> 2.75 TF/step but grew HBM traffic
+# 27.7 -> 36.1 GB/step (relayout copies + fusion breaks around the
+# non-standard padding), and the step — HBM-bound at 71% of roofline —
+# regressed 47.5 -> 49.0 ms. The decoder therefore keeps the isotropic
+# level-2/3 forms; these ops stay available (equivalence-tested in
+# tests/test_subpixel.py) for MXU-bound shapes where the flop cut wins.
+#
+# Convention ("flat" layout): a tensor packed (lh, lw) stores
+#   packed[b, p, q, (r * 2^lw + s) * C + c] = real[b, 2^lh p + r, 2^lw q + s, c]
+# with r, s PLAIN integer offsets (no per-level bit interleaving). All
+# builders below construct kernels at trace time from the standard base
+# parameters, exactly like the isotropic path.
+
+
+def lift_flat(w: jnp.ndarray, pad_lo: int, lh: int, lw: int):
+    """Stride-1 same-size KxK conv re-expressed on a (lh, lw)-packed grid.
+
+    w: (K, K, C_in, C_out) -> (K_h', K_w', P*C_in, P*C_out), P = 2^(lh+lw),
+    channel blocks in flat-offset order. Returns (w', (pad_h', pad_w')).
+    Derivation: real_row_out = 2^lh m + r'; tap u hits real_row_in =
+    real_row_out + u - pad_lo = 2^lh (m + dp) + r  =>  u = pad_lo +
+    2^lh dp + r - r'."""
+    k = w.shape[0]
+    fh, fw = 1 << lh, 1 << lw
+    zero = jnp.zeros_like(w[0, 0])
+
+    def taps(f):
+        return sorted({
+            (u - pad_lo - r + rp) // f
+            for r in range(f) for rp in range(f) for u in range(k)
+            if (u - pad_lo - r + rp) % f == 0
+        })
+
+    dps, dqs = taps(fh), taps(fw)
+    rows = []
+    for dp in dps:
+        cols = []
+        for dq in dqs:
+            in_blocks = []
+            for r in range(fh):
+                for s in range(fw):
+                    out_blocks = []
+                    for rp in range(fh):
+                        for sp in range(fw):
+                            u = pad_lo + fh * dp + r - rp
+                            v = pad_lo + fw * dq + s - sp
+                            out_blocks.append(
+                                w[u, v] if 0 <= u < k and 0 <= v < k else zero)
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows), (-dps[0], -dqs[0])
+
+
+def convt2_flat(w: jnp.ndarray, lh: int, lw: int):
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) on a (lh, lw)-flat-packed input,
+    producing the (lh+1, lw+1)-flat-packed output ON THE SAME GRID.
+
+    w: (3, 3, C_out, C_in) transpose-layout (the standard parameter) ->
+    (K_h', K_w', 2^(lh+lw) C_in, 2^(lh+lw+2) C_out). New output offset bit is
+    the LSB (out_off = 2*r_in-phase-of-source? no: off_out = 2 r + a), i.e.
+    real_out_row = 2 real_in_row + a with taps W2[a][di], di = 2^lh dp +
+    r'' - r in {0, 1} (phase decomposition of the file header)."""
+    k, k2, c_out, c_in = w.shape
+    assert (k, k2) == (3, 3)
+    fh, fw = 1 << lh, 1 << lw
+    zero_oc = jnp.zeros_like(w[0, 0])  # (C_out, C_in)
+
+    def w2(a, di):  # 1-D phase taps: kernel index ki = a + 1 - 2*di
+        ki = a + 1 - 2 * di
+        return ki if 0 <= ki < 3 else None
+
+    dps = sorted({(di - rr) // fh for rr in range(1 - fh, fh) for di in (0, 1)
+                  if (di - rr) % fh == 0})
+    dqs = sorted({(di - rr) // fw for rr in range(1 - fw, fw) for di in (0, 1)
+                  if (di - rr) % fw == 0})
+    rows = []
+    for dp in dps:
+        cols = []
+        for dq in dqs:
+            in_blocks = []
+            for r_in in range(fh):          # input H offset (source row'')
+                for s_in in range(fw):
+                    out_blocks = []
+                    for r_src in range(fh):  # the r in off_out = 2 r + a
+                        for a in (0, 1):
+                            for s_src in range(fw):
+                                for b in (0, 1):
+                                    di = fh * dp + r_in - r_src
+                                    dj = fw * dq + s_in - s_src
+                                    ki = w2(a, di) if di in (0, 1) else None
+                                    kj = w2(b, dj) if dj in (0, 1) else None
+                                    out_blocks.append(
+                                        jnp.transpose(w[ki, kj])
+                                        if ki is not None and kj is not None
+                                        else jnp.transpose(zero_oc))
+                    in_blocks.append(jnp.concatenate(out_blocks, axis=-1))
+            cols.append(jnp.concatenate(in_blocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows), (-dps[0], -dqs[0])
+
+
+def pack_flat(x: jnp.ndarray, lh: int, lw: int) -> jnp.ndarray:
+    """(B, 2^lh H, 2^lw W, C) -> (B, H, W, 2^(lh+lw) C) flat-offset order."""
+    b, hh, ww, c = x.shape
+    fh, fw = 1 << lh, 1 << lw
+    y = x.reshape(b, hh // fh, fh, ww // fw, fw, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // fh, ww // fw, fh * fw * c)
+
+
+def unpack_flat(y: jnp.ndarray, lh: int, lw: int) -> jnp.ndarray:
+    b, h, w, cc = y.shape
+    fh, fw = 1 << lh, 1 << lw
+    c = cc // (fh * fw)
+    x = y.reshape(b, h, w, fh, fw, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * fh, w * fw, c)
+
+
+def same_conv2(x: jnp.ndarray, w: jnp.ndarray, pad: "tuple[int, int]") -> jnp.ndarray:
+    """Same-size NHWC conv with independent per-axis pad_lo values."""
+    kh, kw = w.shape[0], w.shape[1]
+    p = ((pad[0], kh - 1 - pad[0]), (pad[1], kw - 1 - pad[1]))
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=p,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def iso2_to_flat21(x: jnp.ndarray) -> jnp.ndarray:
+    """Isotropic level-2 packed (H', W', 16C) -> flat (lh=2, lw=1) packed
+    (H', 2W', 8C) of the SAME real tensor: the coarse column bit moves into
+    the W axis. Pure reshape/transpose (one relayout copy)."""
+    b, h, w, cc = x.shape
+    c = cc // 16
+    # iso nesting: ((a2, b2), (a1, b1)) outer->inner; row = 2 a2 + a1,
+    # col = 2 b2 + b1
+    y = x.reshape(b, h, w, 2, 2, 2, 2, c)        # a2 b2 a1 b1 c
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6, 7)      # -> W | b2 | a2 a1 b1 c
+    return y.reshape(b, h, 2 * w, 8 * c)         # off = (2 a2 + a1) * 2 + b1
+
+
+def flat32_to_iso3(y: jnp.ndarray) -> jnp.ndarray:
+    """Flat (lh=3, lw=2) packed (H', 2W', 32C) -> isotropic level-3 packed
+    (H', W', 64C) (the ``space_to_depth_n(x, 3)`` layout): the W-axis parity
+    becomes the coarse column bit b3."""
+    b, h, w2, cc = y.shape
+    c = cc // 32
+    w = w2 // 2
+    z = y.reshape(b, h, w, 2, 2, 2, 2, 2, 2, c)  # W | qb | r2 r1 r0 s1 s0 c
+    # iso L3 nesting outer->inner: (a3 b3)(a2 b2)(a1 b1) with a3=r2, b3=qb,
+    # a2=r1, b2=s1, a1=r0, b1=s0
+    z = z.transpose(0, 1, 2, 4, 3, 5, 7, 6, 8, 9)
+    return z.reshape(b, h, w, 64 * c)

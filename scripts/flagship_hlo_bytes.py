@@ -52,9 +52,12 @@ def shape_bytes(text: str) -> int:
 def main():
     cfg = VesselConfig()
     model = CausalViTVAE(img_size=HW, m_dim=12, t_dim=19, z_dim=cfg.z_dim,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, packed_io=True)
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.random((BATCH, *HW, 1)) > 0.9).astype(np.float32))
+    from causalvae_tpu.ops.subpixel import space_to_depth_n
+
+    x = jnp.asarray(space_to_depth_n(
+        (rng.random((BATCH, *HW, 1)) > 0.9).astype(np.float32), 3))
     m = jnp.asarray(rng.standard_normal((BATCH, 12)).astype(np.float32))
     t = jnp.asarray(np.eye(19, dtype=np.float32)[rng.integers(0, 19, BATCH)])
     batch = {"x": x, "m": m, "t": t}
@@ -69,7 +72,7 @@ def main():
 
     step = make_vae_step(model, loss_fn, has_batch_stats=True, needs_dropout=True)
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
-                     optax.adam(cfg.lr))
+                     optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     state = TrainState.create(variables, tx)
     compiled = jax.jit(step, donate_argnums=0).lower(state, batch, key).compile()
     print("cost_analysis:", json.dumps({

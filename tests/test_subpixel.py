@@ -281,3 +281,61 @@ def test_vessel_vae_packed_matches_spatial():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=tol, atol=tol,
                                        err_msg=f"train={train}")
+
+
+def test_lift_flat_matches_fine_grid_conv():
+    """lift_flat: a stride-1 pad-1 K3 conv on the real grid == the flat
+    (lh, lw)-lifted conv applied to the flat-packed tensor."""
+    from causalvae_tpu.ops.subpixel import (
+        lift_flat, pack_flat, same_conv, same_conv2, unpack_flat,
+    )
+
+    rng = np.random.default_rng(3)
+    for lh, lw in ((1, 0), (2, 1), (3, 2)):
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 4)), jnp.float32)
+        want = same_conv(x, w, 1)
+        wl, pad = lift_flat(w, 1, lh, lw)
+        got = unpack_flat(same_conv2(pack_flat(x, lh, lw), wl, pad), lh, lw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"lh={lh} lw={lw}")
+
+
+def test_convt2_flat_matches_conv_transpose():
+    """convt2_flat: ConvTranspose2d(3,2,1,op=1) on the real grid == the flat
+    kernel on the (lh, lw)-packed input, output flat (lh+1, lw+1)-packed."""
+    from causalvae_tpu.ops.subpixel import (
+        convt2_flat, pack_flat, same_conv2, unpack_flat,
+    )
+
+    rng = np.random.default_rng(4)
+    for lh, lw in ((1, 0), (2, 1)):
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 5)), jnp.float32)
+        ref = dilated_conv_t(4)
+        variables = ref.init(jax.random.PRNGKey(5), x)
+        want = ref.apply(variables, x)
+        w = variables["params"]["kernel"]
+        pk, pad = convt2_flat(w, lh, lw)
+        xp = pack_flat(x, lh, lw)
+        got = unpack_flat(same_conv2(xp, pk, pad), lh + 1, lw + 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"lh={lh} lw={lw}")
+
+
+def test_flat_boundary_transforms():
+    """iso2_to_flat21 / flat32_to_iso3 are exact relayouts of the same real
+    tensor (vs pack_flat / space_to_depth_n ground truth)."""
+    from causalvae_tpu.ops.subpixel import (
+        flat32_to_iso3, iso2_to_flat21, pack_flat, space_to_depth_n,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(iso2_to_flat21(space_to_depth_n(x, 2))),
+        np.asarray(pack_flat(x, 2, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(flat32_to_iso3(pack_flat(x, 3, 2))),
+        np.asarray(space_to_depth_n(x, 3)))
