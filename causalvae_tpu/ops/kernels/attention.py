@@ -43,6 +43,17 @@ BLOCK_K = 128   # PRNG tile cols — score tile, identical across fwd/bwd kernel
 # VPU work each, and instance overhead dominated the measured kernel time.
 FWD_ROWS = 512  # q rows per forward instance (VMEM: 2 x (512, N) f32 + bits)
 BWD_ROWS = 512  # q rows per backward instance (3 x (512, N) f32 temporaries)
+# Heads per kernel instance: the per-(batch*head) work at the flagship shape
+# (N=1024, D=32) is only ~70 MFLOP of MXU + a few VPU passes, so per-instance
+# overhead is still visible after the 512-row blocks; an inner fori_loop over
+# GROUP_BH heads cuts the instance count another GROUP_BH x while the VMEM
+# block (GROUP_BH, rows/N, D) stays small (D is tiny). PRNG tiles are keyed by
+# the GLOBAL bh index, so masks are unchanged.
+GROUP_BH = 4
+# Scoped-VMEM cap for the Mosaic kernels: the GROUP_BH-unrolled backward's
+# stack peaks just over the 16 MB default in the full-step graph (16.21 MB at
+# the flagship shape — layout-dependent), well under the chip's 128 MB VMEM.
+VMEM_LIMIT = 64 * 1024 * 1024
 NEG_INF = -1e30
 LSE_PAD = 1e30  # logsumexp sentinel for fully-masked (padded) query rows
 
@@ -121,42 +132,45 @@ def keep_from_bits(bits, rate: float):
 
 
 def _fwd_kernel(meta_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                rate: float, interpret: bool):
+                rate: float, interpret: bool, group: int):
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
-    bh = pl.program_id(0)
+    g0 = pl.program_id(0)
     qi = pl.program_id(1)
     n_pad = k_ref.shape[1]
     rows = q_ref.shape[1]
-    q = q_ref[0]  # (rows, D), input dtype — MXU takes bf16 natively
-    ks = k_ref[0]  # (N, D)
-    s = scale * jax.lax.dot_general(
-        q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (rows, N) f32
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    # normalizer uses the UNdropped probabilities (torch applies dropout
-    # after softmax); only the value accumulation is masked
-    l = jnp.sum(p, axis=1, keepdims=True)
-    if rate > 0.0:
-        bits = _keep_bits(seed, bh, qi * rows, 0, p.shape,
-                          interpret=interpret)
-        p = jnp.where(keep_from_bits(bits, rate), p, 0.0)
-    acc = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BLOCK_Q, D)
-    # Padded q rows have all-masked scores (l == 0); emit zeros / LSE sentinel.
-    valid = l > 0.0
-    out = acc / jnp.where(valid, l, 1.0)
-    if rate > 0.0:
-        out = out / (1.0 - rate)
-    o_ref[0] = out.astype(o_ref.dtype)
-    lse_ref[0] = jnp.where(valid, m + jnp.log(jnp.where(valid, l, 1.0)), LSE_PAD)
+    for j in range(group):  # static unroll; Mosaic reuses dead temporaries
+        bh = g0 * group + j
+        q = q_ref[j]  # (rows, D), input dtype — MXU takes bf16 natively
+        ks = k_ref[j]  # (N, D)
+        s = scale * jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (rows, N) f32
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        # normalizer uses the UNdropped probabilities (torch applies dropout
+        # after softmax); only the value accumulation is masked
+        l = jnp.sum(p, axis=1, keepdims=True)
+        if rate > 0.0:
+            bits = _keep_bits(seed, bh, qi * rows, 0, p.shape,
+                              interpret=interpret)
+            p = jnp.where(keep_from_bits(bits, rate), p, 0.0)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rows, D)
+        # Padded q rows have all-masked scores (l == 0); emit zeros / sentinel.
+        valid = l > 0.0
+        out = acc / jnp.where(valid, l, 1.0)
+        if rate > 0.0:
+            out = out / (1.0 - rate)
+        o_ref[j] = out.astype(o_ref.dtype)
+        lse_ref[j] = jnp.where(valid, m + jnp.log(jnp.where(valid, l, 1.0)),
+                               LSE_PAD)
 
 
 # --------------------------------------------------------------------------
@@ -169,67 +183,71 @@ def _bwd_fused_kernel(meta_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                       interpret: bool):
     """Fused backward: dq, dk and dv from ONE recompute of p.
 
-    Grid is (batch*head, q-chunks): each instance handles a CHUNK_Q row band
-    of the score plane (three (CHUNK_Q, N) f32 temporaries — the full (N, N)
-    plane at f32 blew the 16 MB scoped-VMEM limit), writes its dq band and
-    accumulates partial dk/dv into the revisited full-row output blocks."""
+    Grid is (batch*head / GROUP, q-chunks): each instance handles GROUP heads'
+    CHUNK_Q row band of the score plane (three (CHUNK_Q, N) f32 temporaries
+    per head — the full (N, N) plane at f32 blew the 16 MB scoped-VMEM limit),
+    writes its dq bands and accumulates partial dk/dv into the revisited
+    full-row output blocks."""
     from jax.experimental import pallas as pl
 
     n_valid = meta_ref[0]
     seed = meta_ref[1]
-    bh = pl.program_id(0)
+    g0 = pl.program_id(0)
     ci = pl.program_id(1)
+    group = q_ref.shape[0]
     chunk = q_ref.shape[1]
     n_pad = k_ref.shape[1]
-    q = q_ref[0]           # (CHUNK, D)
-    k = k_ref[0]           # (N, D)
-    v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]       # (CHUNK, 1)
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    for j in range(group):  # static unroll; Mosaic reuses dead temporaries
+        bh = g0 * group + j
+        q = q_ref[j]           # (CHUNK, D)
+        k = k_ref[j]           # (N, D)
+        v = v_ref[j]
+        do = do_ref[j].astype(jnp.float32)
+        o = o_ref[j].astype(jnp.float32)
+        lse = lse_ref[j]       # (CHUNK, 1)
 
-    s = scale * jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (CHUNK, N)
-    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_pad), 1)
-    s = jnp.where(col < n_valid, s, NEG_INF)
-    p = jnp.exp(s - lse)
-    dp = jax.lax.dot_general(
-        do.astype(v_ref.dtype), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, N)
-    if rate > 0.0:
-        bits = _keep_bits(seed, bh, ci * chunk, 0, p.shape,
-                          interpret=interpret)
-        keep = keep_from_bits(bits, rate)
-        pd = jnp.where(keep, p * inv_keep, 0.0)
-        dp = jnp.where(keep, dp * inv_keep, 0.0)
-    else:
-        pd = p
-    delta = jnp.sum(do * o, axis=1, keepdims=True)  # (CHUNK, 1)
-    ds = (p * (dp - delta)).astype(q_ref.dtype)
-    dv_part = jax.lax.dot_general(
-        pd.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, D)
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk_part = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (N, D)
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (CHUNK, N)
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_pad), 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do.astype(v_ref.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, N)
+        if rate > 0.0:
+            bits = _keep_bits(seed, bh, ci * chunk, 0, p.shape,
+                              interpret=interpret)
+            keep = keep_from_bits(bits, rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            pd = p
+        delta = jnp.sum(do * o, axis=1, keepdims=True)  # (CHUNK, 1)
+        ds = (p * (dp - delta)).astype(q_ref.dtype)
+        dv_part = jax.lax.dot_general(
+            pd.astype(do_ref.dtype), do_ref[j], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, D)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_part = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, D)
+        dq_ref[j] = (dq * scale).astype(dq_ref.dtype)
 
-    @pl.when(ci == 0)
-    def _init():
-        dk_ref[0] = (dk_part * scale).astype(dk_ref.dtype)
-        dv_ref[0] = dv_part.astype(dv_ref.dtype)
+        @pl.when(ci == 0)
+        def _init():
+            dk_ref[j] = (dk_part * scale).astype(dk_ref.dtype)
+            dv_ref[j] = dv_part.astype(dv_ref.dtype)
 
-    @pl.when(ci > 0)
-    def _acc():
-        dk_ref[0] += (dk_part * scale).astype(dk_ref.dtype)
-        dv_ref[0] += dv_part.astype(dv_ref.dtype)
+        @pl.when(ci > 0)
+        def _acc():
+            dk_ref[j] += (dk_part * scale).astype(dk_ref.dtype)
+            dv_ref[j] += dv_part.astype(dv_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -241,6 +259,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _group(bh: int) -> int:
+    for g in (GROUP_BH, 2, 1):
+        if bh % g == 0:
+            return g
+    return 1
+
+
 def _fwd_call(q, k, v, meta, scale: float, rate: float):
     """q/k/v: (BH, Npad, D), Npad % 128 == 0 -> (o, lse)."""
     from jax.experimental import pallas as pl
@@ -248,20 +273,22 @@ def _fwd_call(q, k, v, meta, scale: float, rate: float):
 
     bh, n_pad, d = q.shape
     rows = FWD_ROWS if n_pad % FWD_ROWS == 0 else BLOCK_Q
-    grid = (bh, n_pad // rows)
+    g = _group(bh)
+    grid = (bh // g, n_pad // rows)
     interp = _interpret()
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate, interpret=interp),
+        functools.partial(_fwd_kernel, scale=scale, rate=rate, interpret=interp,
+                          group=g),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, rows, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, rows, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, rows, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, rows, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
@@ -272,6 +299,8 @@ def _fwd_call(q, k, v, meta, scale: float, rate: float):
             bytes_accessed=4 * bh * n_pad * d * 4,
             transcendentals=bh * n_pad * n_pad,
         ),
+        compiler_params=None if interp else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interp,
     )(meta, q, k, v)
 
@@ -282,26 +311,27 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
 
     bh, n_pad, d = q.shape
     chunk = min(n_pad, BWD_ROWS)
+    g = _group(bh)
     blk = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
     interp = _interpret()
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, scale=scale, rate=rate,
                           interpret=interp),
-        grid=(bh, n_pad // chunk),
+        grid=(bh // g, n_pad // chunk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, 1), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, chunk, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, chunk, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, chunk, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, chunk, 1), blk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, chunk, d), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, chunk, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n_pad, d), full, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
@@ -313,6 +343,8 @@ def _bwd_call(q, k, v, do, o, lse, meta, scale: float, rate: float):
             bytes_accessed=9 * bh * n_pad * d * 4,
             transcendentals=bh * n_pad * n_pad,
         ),
+        compiler_params=None if interp else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interp,
     )(meta, q, k, v, do, o, lse)
 

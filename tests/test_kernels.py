@@ -43,10 +43,15 @@ def test_fused_vessel_terms_grad():
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r), rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("n", [17, 128, 241])
-def test_flash_attention_value(n):
+@pytest.mark.parametrize(
+    "n,b,h",
+    # (b*h) chosen to hit every head-grouping path of the pallas grid:
+    # bh=8 -> GROUP_BH=4 groups, bh=6 -> the 2-group fallback, bh=3 -> g=1
+    [(17, 2, 4), (128, 2, 4), (241, 2, 4), (64, 2, 3), (64, 1, 3)],
+)
+def test_flash_attention_value(n, b, h):
     rng = np.random.default_rng(2)
-    b, h, d = 2, 4, 32
+    d = 32
     q = rng.standard_normal((b, h, n, d)).astype(np.float32)
     k = rng.standard_normal((b, h, n, d)).astype(np.float32)
     v = rng.standard_normal((b, h, n, d)).astype(np.float32)
