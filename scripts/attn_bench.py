@@ -17,6 +17,15 @@ sys.path.insert(0, "/root/repo")
 
 from causalvae_tpu.ops.kernels import attention as ka
 
+import os
+
+# sweep the kernel's grid constants without editing the module:
+#   ATTN_GROUP=8 ATTN_FWD_ROWS=1024 python scripts/attn_bench.py
+for _env, _attr in (("ATTN_GROUP", "GROUP_BH"), ("ATTN_FWD_ROWS", "FWD_ROWS"),
+                    ("ATTN_BWD_ROWS", "BWD_ROWS")):
+    if os.environ.get(_env):
+        setattr(ka, _attr, int(os.environ[_env]))
+
 B, H, N, D = 8, 8, 961, 32
 STEPS = 30
 
