@@ -131,6 +131,13 @@ class ViTVAE(nn.Module):
     # losses are pixel-permutation-invariant, so loss values/grads are
     # identical; measured ~14 ms/step of 1-channel layout copies saved.
     packed_io: bool = False
+    # remat_blocks=True checkpoints each transformer block (jax.checkpoint):
+    # the backward recomputes block internals instead of holding them, cutting
+    # live activation memory for memory-constrained configs (bigger batches /
+    # resolutions / deeper stacks). At the 768x1280 batch-8 production shape it
+    # is OFF: the step is HBM-bandwidth-bound and measured slower with remat
+    # (the ViT-block residuals it avoids are a small slice of step bytes).
+    remat_blocks: bool = False
 
     @property
     def grid_hw(self):
@@ -150,8 +157,10 @@ class ViTVAE(nn.Module):
         self.cls_token = self.param(
             "cls_token", nn.initializers.normal(1.0), (1, 1, self.embed_dim)
         )
+        block_cls = (nn.remat(ViTBlock, static_argnums=(2,))
+                     if self.remat_blocks else ViTBlock)
         self.blocks = [
-            ViTBlock(self.embed_dim, self.heads, self.mlp_dim, self.dropout, dtype=d)
+            block_cls(self.embed_dim, self.heads, self.mlp_dim, self.dropout, dtype=d)
             for _ in range(self.depth)
         ]
         self.to_latent = nn.LayerNorm(epsilon=1e-5, dtype=d)
@@ -194,7 +203,7 @@ class ViTVAE(nn.Module):
         h = h + self.pos_embedding[:, : h.shape[1]].astype(h.dtype)
         h = self.pos_dropout(h, deterministic=not train)
         for blk in self.blocks:
-            h = blk(h, train=train)
+            h = blk(h, train)  # positional: remat marks arg 2 (train) static
         return h
 
     def encode(self, x, train: bool = False):
@@ -289,6 +298,7 @@ class CausalViTVAE(nn.Module):
     dtype: jnp.dtype = jnp.float32
     packed: bool = True
     packed_io: bool = False  # see ViTVAE.packed_io
+    remat_blocks: bool = False  # see ViTVAE.remat_blocks
 
     def setup(self):
         d = self.dtype
@@ -302,6 +312,7 @@ class CausalViTVAE(nn.Module):
             dtype=d,
             packed=self.packed,
             packed_io=self.packed_io,
+            remat_blocks=self.remat_blocks,
         )
         self.enc_adapter_fc1 = nn.Dense(512, dtype=d)
         self.enc_adapter_bn = batch_norm(dtype=d)

@@ -1,6 +1,7 @@
 """Shape/initialization smoke tests for the flax model zoo, plus numerical
 checks of loss functions against torch (the reference's framework, CPU)."""
 
+import chex
 import numpy as np
 import pytest
 
@@ -134,6 +135,29 @@ def test_causal_vit_vae_shapes_tiny():
     assert out.recon_x.shape == (2, 64, 64, 1)
     assert out.mu.shape == (2, 16)
     assert out.m_mu.shape == (2, 12)
+
+
+@pytest.mark.slow
+def test_vit_vae_remat_equivalence():
+    # remat_blocks only changes what the backward holds vs recomputes; the
+    # outputs and gradients must be bit-identical to the non-remat model.
+    kw = dict(img_size=(32, 32), latent_dim=16, embed_dim=64, depth=2, mlp_dim=96)
+    base = M.ViTVAE(**kw)
+    remat = M.ViTVAE(**kw, remat_blocks=True)
+    x = jax.random.normal(KEY, (2, 32, 32, 1))
+    variables = base.init({"params": KEY, "dropout": KEY}, x, rng=KEY, train=True)
+
+    def loss(model, params):
+        (recon, _, mu, logvar), _ = model.apply(
+            {**variables, "params": params}, x, rng=KEY, train=True,
+            rngs={"dropout": KEY}, mutable=["batch_stats"],
+        )
+        return jnp.sum(recon ** 2) + jnp.sum(mu ** 2) + jnp.sum(logvar ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(variables["params"])
+    assert jnp.allclose(l0, l1)
+    chex.assert_trees_all_close(g0, g1, rtol=1e-6, atol=1e-6)
 
 
 def test_reparameterize_statistics():
