@@ -30,19 +30,37 @@ class ResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, levels: int = 0):
+    def __call__(self, x, train: bool = False, levels: int = 0,
+                 prologue=None, fused: bool = False):
+        """``prologue``: (mul, add, slope) affine of a PRECEDING BatchNorm +
+        LeakyReLU, folded into Conv_0's input read AND recomputed elementwise
+        at the skip (the block's residual input is the normalized tensor).
+        ``fused`` folds the internal BatchNorm_0 + LeakyReLU(0.2) into
+        Conv_1 the same way (ops/kernels/stage.py)."""
         from causalvae_tpu.ops.subpixel import PhaseableConv3x3
 
         g = 4 ** levels
         h = PhaseableConv3x3(self.channels, dtype=self.dtype,
-                             name="Conv_0")(x, levels=levels)
-        h = batch_norm(dtype=self.dtype, name="BatchNorm_0")(
-            h, use_running_average=not train, groups=g)
-        h = nn.leaky_relu(h, 0.2)
-        h = PhaseableConv3x3(self.channels, dtype=self.dtype,
-                             name="Conv_1")(h, levels=levels)
+                             name="Conv_0")(x, levels=levels, prologue=prologue)
+        if fused:
+            mul0, add0 = batch_norm(dtype=self.dtype, name="BatchNorm_0")(
+                h, use_running_average=not train, groups=g, emit_affine=True)
+            h = PhaseableConv3x3(self.channels, dtype=self.dtype,
+                                 name="Conv_1")(
+                h, levels=levels,
+                prologue=(jnp.tile(mul0, g), jnp.tile(add0, g), 0.2))
+        else:
+            h = batch_norm(dtype=self.dtype, name="BatchNorm_0")(
+                h, use_running_average=not train, groups=g)
+            h = nn.leaky_relu(h, 0.2)
+            h = PhaseableConv3x3(self.channels, dtype=self.dtype,
+                                 name="Conv_1")(h, levels=levels)
         h = batch_norm(dtype=self.dtype, name="BatchNorm_1")(
             h, use_running_average=not train, groups=g)
+        if prologue is not None:
+            mul, add, slope = prologue
+            pre = x.astype(jnp.float32) * mul + add
+            x = jnp.where(pre >= 0.0, pre, slope * pre).astype(h.dtype)
         return x + h
 
 
@@ -138,6 +156,25 @@ class ViTVAE(nn.Module):
     # is OFF: the step is HBM-bandwidth-bound and measured slower with remat
     # (the ViT-block residuals it avoids are a small slice of step bytes).
     remat_blocks: bool = False
+    # fused_stages folds each decoder BatchNorm-apply + LeakyReLU into the
+    # consuming convolution (ops/kernels/stage.py): the normalized activation
+    # never round-trips HBM (~1 GB/step of forward traffic at 768x1280 b8).
+    # None = auto: on for the packed formulation on single-chip TPU; off
+    # elsewhere (CPU tests and GSPMD meshes keep the reference composition).
+    fused_stages: Optional[bool] = None
+
+    def _fused(self) -> bool:
+        if self.fused_stages is not None:
+            return self.fused_stages
+        if not self.packed:
+            return False
+        from causalvae_tpu.ops.kernels.stage import _on_tpu
+
+        try:
+            single = jax.device_count() == 1
+        except Exception:  # pragma: no cover
+            single = False
+        return single and _on_tpu()
 
     @property
     def grid_hw(self):
@@ -186,12 +223,24 @@ class ViTVAE(nn.Module):
             if not self.packed_io:  # packed_io: x arrives pre-packed
                 for _ in range(3):
                     h = space_to_depth_2x(h)
+            fused = self._fused()
             in_lv = (3, 2, 1, 0, 0)
+            pro = None
             for i, (cv, bn) in enumerate(zip(self.stem_convs, self.stem_bns)):
-                h = cv(h, in_levels=in_lv[i])
+                h = cv(h, in_levels=in_lv[i], prologue=pro)
                 g = 4 ** max(in_lv[i] - 1, 0)
-                h = bn(h, use_running_average=not train, groups=g)
-                h = nn.leaky_relu(h, 0.01)
+                if fused and i + 1 < len(self.stem_convs) and in_lv[i + 1] > 0:
+                    # emit the BN affine and fold it (+ LeakyReLU) into the
+                    # NEXT lifted conv's input read (ops/kernels/stage.py);
+                    # the stride-2 spatial convs (in_levels 0) keep the
+                    # classic composition.
+                    mul, add = bn(h, use_running_average=not train, groups=g,
+                                  emit_affine=True)
+                    pro = (jnp.tile(mul, g), jnp.tile(add, g), 0.01)
+                else:
+                    h = bn(h, use_running_average=not train, groups=g)
+                    h = nn.leaky_relu(h, 0.01)
+                    pro = None
         else:
             for cv, bn in zip(self.stem_convs, self.stem_bns):
                 h = bn(cv(h), use_running_average=not train)
@@ -251,22 +300,51 @@ class ViTVAE(nn.Module):
             h = self.dec_bns[i](h, use_running_average=not train, groups=groups)
             return nn.leaky_relu(h, 0.01)
 
+        fused = self._fused()
+
+        def bn_affine(i, h, groups, tiles):
+            """(mul, add) of BN_i tiled to the CONSUMER's packed width —
+            the affine is per REAL channel, so it commutes with the d2s
+            between stage 2's BN and dec_res_2."""
+            mul, add = self.dec_bns[i](h, use_running_average=not train,
+                                       groups=groups, emit_affine=True)
+            return jnp.tile(mul, tiles), jnp.tile(add, tiles), 0.01
+
         h = self.dec_ct[0](h)                              # (2gh, 2gw, 128)
-        h = bn_act(0, h, 1)
-        h = self.dec_res[0](h, train=train)
-        h = self.dec_ct[1](h, phase_output=True)           # L1: (2gh, 2gw, 256)
-        h = bn_act(1, h, 4)
-        h = self.dec_res[1](h, train=train, levels=1)
-        h = self.dec_ct[2](h, phase_output=True, in_levels=1)  # L2: 512
-        h = bn_act(2, h, 16)
-        h = depth_to_space_2x(h)                           # L1: (4gh, 4gw, 128)
-        h = self.dec_res[2](h, train=train, levels=1)
-        h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
-        h = bn_act(3, h, 16)
-        h = self.dec_res[3](h, train=train, levels=2)
-        h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
-        h = bn_act(4, h, 64)
-        o = self.dec_out(h, levels=3)                      # (4gh, 4gw, 64)
+        if fused:
+            h = self.dec_res[0](h, train=train,
+                                prologue=bn_affine(0, h, 1, 1), fused=True)
+            h = self.dec_ct[1](h, phase_output=True)       # L1: (2gh, 2gw, 256)
+            h = self.dec_res[1](h, train=train, levels=1,
+                                prologue=bn_affine(1, h, 4, 4), fused=True)
+            h = self.dec_ct[2](h, phase_output=True, in_levels=1)  # L2: 512
+            pro2 = bn_affine(2, h, 16, 4)                  # post-d2s width 128
+            h = depth_to_space_2x(h)                       # L1: (4gh, 4gw, 128)
+            h = self.dec_res[2](h, train=train, levels=1,
+                                prologue=pro2, fused=True)
+            h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
+            h = self.dec_res[3](h, train=train, levels=2,
+                                prologue=bn_affine(3, h, 16, 16), fused=True)
+            h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
+            mul4, add4, slope4 = bn_affine(4, h, 64, 64)
+            o = self.dec_out(h, levels=3,
+                             prologue=(mul4, add4, slope4))  # (4gh, 4gw, 64)
+        else:
+            h = bn_act(0, h, 1)
+            h = self.dec_res[0](h, train=train)
+            h = self.dec_ct[1](h, phase_output=True)       # L1: (2gh, 2gw, 256)
+            h = bn_act(1, h, 4)
+            h = self.dec_res[1](h, train=train, levels=1)
+            h = self.dec_ct[2](h, phase_output=True, in_levels=1)  # L2: 512
+            h = bn_act(2, h, 16)
+            h = depth_to_space_2x(h)                       # L1: (4gh, 4gw, 128)
+            h = self.dec_res[2](h, train=train, levels=1)
+            h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
+            h = bn_act(3, h, 16)
+            h = self.dec_res[3](h, train=train, levels=2)
+            h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
+            h = bn_act(4, h, 64)
+            o = self.dec_out(h, levels=3)                  # (4gh, 4gw, 64)
         if self.packed_io:
             return o  # space_to_depth_n(recon, 3) layout
         for _ in range(3):
@@ -299,6 +377,7 @@ class CausalViTVAE(nn.Module):
     packed: bool = True
     packed_io: bool = False  # see ViTVAE.packed_io
     remat_blocks: bool = False  # see ViTVAE.remat_blocks
+    fused_stages: Optional[bool] = None  # see ViTVAE.fused_stages
 
     def setup(self):
         d = self.dtype
@@ -313,6 +392,7 @@ class CausalViTVAE(nn.Module):
             packed=self.packed,
             packed_io=self.packed_io,
             remat_blocks=self.remat_blocks,
+            fused_stages=self.fused_stages,
         )
         self.enc_adapter_fc1 = nn.Dense(512, dtype=d)
         self.enc_adapter_bn = batch_norm(dtype=d)

@@ -274,7 +274,8 @@ class BatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = True, groups: int = 1):
+    def __call__(self, x, use_running_average: bool = True, groups: int = 1,
+                 emit_affine: bool = False):
         c = x.shape[-1] // groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -282,6 +283,24 @@ class BatchNorm(nn.Module):
                                 lambda *a: jnp.zeros(c, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda *a: jnp.ones(c, jnp.float32))
+        if emit_affine:
+            # Return the per-REAL-channel affine (mul, add) with
+            # y_normalized = x*mul + add instead of materializing y — the
+            # caller folds these into the consuming convolution's prologue
+            # (ops/kernels/stage.py). Statistics use the differentiable jnp
+            # reduction so the batch-stats gradient terms flow through
+            # (mul, add) into the fused op's (dmul, dadd) and back to x.
+            if use_running_average:
+                mean, var = ra_mean.value, ra_var.value
+            else:
+                mean, var = _stats(x, False, groups)
+                if not self.is_initializing():
+                    m = self.momentum
+                    ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                    ra_var.value = m * ra_var.value + (1.0 - m) * var
+            inv = jax.lax.rsqrt(var + self.epsilon)
+            mul = inv * scale.astype(jnp.float32)
+            return mul, bias.astype(jnp.float32) - mean * mul
         if use_running_average:
             mean = _gtile(ra_mean.value, groups)
             var = _gtile(ra_var.value, groups)

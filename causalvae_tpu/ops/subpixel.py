@@ -277,9 +277,16 @@ class SubpixelConvTranspose2x(nn.Module):
         pk, pl = phase_kernel_2x(kernel), 0  # K2, pad (0, 1)
         for _ in range(in_levels):
             pk, pl = lift_once(pk, pl)
-        y = same_conv(x, pk, pl)
-        if bias is not None:
-            y = y + jnp.tile(jnp.asarray(bias, self.dtype), 4 ** (in_levels + 1))
+        bias_t = (jnp.tile(jnp.asarray(bias, self.dtype), 4 ** (in_levels + 1))
+                  if bias is not None else
+                  jnp.zeros((pk.shape[-1],), self.dtype))
+        # Route through the fused stage kernel on TPU (no prologue — these
+        # consume raw ResBlock outputs): keeps the whole decoder chain on
+        # default layouts between Pallas stages instead of relayout-copying
+        # at every XLA-conv boundary (ops/kernels/stage.py).
+        from causalvae_tpu.ops.kernels.stage import affine_act_conv
+
+        y = affine_act_conv(x, None, None, pk, bias_t, pad_lo=pl)
         if phase_output:
             return y  # packed in_levels+1 times
         assert in_levels == 0, "unpacked output only supported at in_levels=0"
@@ -298,7 +305,8 @@ class PhaseableConv3x3(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, levels: int = 0) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, levels: int = 0,
+                 prologue=None) -> jnp.ndarray:
         c_in = x.shape[-1] // (4 ** levels)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features)
@@ -308,8 +316,18 @@ class PhaseableConv3x3(nn.Module):
         pk, pl = kernel, 1
         for _ in range(levels):
             pk, pl = lift_once(pk, pl)
+        bias_t = jnp.tile(bias, 4 ** levels) if levels else bias
+        if prologue is not None:
+            # (mul, add, slope) — fold the preceding BatchNorm-apply +
+            # LeakyReLU into this conv's input read (ops/kernels/stage.py):
+            # the normalized activation never round-trips HBM on TPU.
+            from causalvae_tpu.ops.kernels.stage import affine_act_conv
+
+            mul, add, slope = prologue
+            return affine_act_conv(x, mul, add, pk, bias_t, slope=slope,
+                                   pad_lo=pl)
         y = same_conv(x, pk, pl)
-        return y + (jnp.tile(bias, 4 ** levels) if levels else bias)
+        return y + bias_t
 
 
 class LiftableStemConv(nn.Module):
@@ -325,7 +343,8 @@ class LiftableStemConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, in_levels: int = 0) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, in_levels: int = 0,
+                 prologue=None) -> jnp.ndarray:
         c_in = x.shape[-1] // (4 ** in_levels)
         k = self.ksize
         kernel = self.param(
@@ -334,6 +353,7 @@ class LiftableStemConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
         if in_levels == 0:
+            assert prologue is None, "prologue fusion needs the lifted form"
             # torch Conv2d(k, stride=2, padding=1): pad (1, 1) for k=3/4
             y = jax.lax.conv_general_dilated(
                 x, kernel, window_strides=(2, 2), padding=((1, 1), (1, 1)),
@@ -343,8 +363,17 @@ class LiftableStemConv(nn.Module):
         pk, pl = consume_once(kernel, 1)
         for _ in range(in_levels - 1):
             pk, pl = lift_once(pk, pl)
+        bias_t = jnp.tile(bias, 4 ** (in_levels - 1))
+        if prologue is not None:
+            # fold the preceding BatchNorm-apply + LeakyReLU into this conv
+            # (ops/kernels/stage.py) — see PhaseableConv3x3.
+            from causalvae_tpu.ops.kernels.stage import affine_act_conv
+
+            mul, add, slope = prologue
+            return affine_act_conv(x, mul, add, pk, bias_t, slope=slope,
+                                   pad_lo=pl)
         y = same_conv(x, pk, pl)
-        return y + jnp.tile(bias, 4 ** (in_levels - 1))
+        return y + bias_t
 
 
 # --------------------------------------------------------------------------

@@ -1,10 +1,9 @@
-"""Scanned flagship step: N optimizer steps per dispatch (device-resident
-loop), isolating remote-dispatch overhead from true device step time.
-Complements scripts/flagship_bench.py (per-dispatch measurement)."""
+"""Dump the flagship step's copy-start / biggest-fusion HLO lines verbatim,
+to identify what forces the ~3 GB of layout copies that flagship_hlo_bytes.py
+ranks near the top. Reuses the persistent compile cache (warm ~1 min)."""
 
-import json
+import re
 import sys
-import time
 
 import jax
 
@@ -19,12 +18,11 @@ sys.path.insert(0, "/root/repo")
 from causalvae_tpu.config import VesselConfig
 from causalvae_tpu.models.vit import CausalViTVAE
 from causalvae_tpu.ops import losses as L
+from causalvae_tpu.ops.subpixel import space_to_depth_n
 from causalvae_tpu.train.loop import make_vae_step
 from causalvae_tpu.train.state import TrainState
 
-BATCH = 8
-HW = (768, 1280)
-SCAN_N = 8
+BATCH, HW = 8, (768, 1280)
 
 
 def main():
@@ -32,8 +30,6 @@ def main():
     model = CausalViTVAE(img_size=HW, m_dim=12, t_dim=19, z_dim=cfg.z_dim,
                          dtype=jnp.bfloat16, packed_io=True)
     rng = np.random.default_rng(0)
-    from causalvae_tpu.ops.subpixel import space_to_depth_n
-
     x = jnp.asarray(space_to_depth_n(
         (rng.random((BATCH, *HW, 1)) > 0.9).astype(np.float32), 3))
     m = jnp.asarray(rng.standard_normal((BATCH, 12)).astype(np.float32))
@@ -52,32 +48,29 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
                      optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     state = TrainState.create(variables, tx)
+    compiled = jax.jit(step, donate_argnums=0).lower(state, batch, key).compile()
+    hlo = compiled.as_text()
 
-    def scanned(state0, b, k):
-        def body(st, kk):
-            st2, metrics = step(st, b, kk)
-            return st2, metrics["loss"]
-
-        return jax.lax.scan(body, state0, jax.random.split(k, SCAN_N))
-
-    t_c0 = time.perf_counter()
-    compiled = jax.jit(scanned, donate_argnums=0).lower(state, batch, key).compile()
-    print(f"compiled in {time.perf_counter() - t_c0:.0f}s", file=sys.stderr)
-    state, losses = compiled(state, batch, key)
-    float(np.asarray(losses)[0])
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        state, losses = compiled(state, batch, jax.random.fold_in(key, i))
-    float(np.asarray(losses)[0])
-    dt = (time.perf_counter() - t0) / (SCAN_N * reps)
-    print(json.dumps({
-        "piece": f"scanned_step_x{SCAN_N}_bf16",
-        "ms_per_step": round(dt * 1e3, 1),
-        "images_per_sec_per_chip": round(BATCH / dt, 2),
-    }))
+    lines = hlo.splitlines()
+    print("=== copy-start lines (entry) ===")
+    for i, line in enumerate(lines):
+        if " copy-start(" in line or "= copy(" in line and "f16[8,96" in line:
+            print(line.strip()[:400])
+    print("\n=== the big jit(step)/add fusion (adam) — find + dump body head ===")
+    # locate entry fusion whose op_name is jit(step)/add with ~1258MB out
+    m_big = re.search(r"%?(fusion[\w.\-]*) = \((.*?)\) fusion\(([^)]*)\).*?"
+                      r'op_name="jit\(step\)/add"', hlo)
+    big_lines = [l for l in lines if 'op_name="jit(step)/add"' in l
+                 and " fusion(" in l]
+    for l in big_lines[:4]:
+        print(l.strip()[:500])
+    print("\n=== async-start lines (top 6 by length of shape) ===")
+    asyncs = [l for l in lines if "async-start" in l and "=" in l]
+    for l in asyncs[:6]:
+        print(l.strip()[:300])
+    print(f"\n(total copy-start: {sum(' copy-start(' in l for l in lines)}, "
+          f"async-start: {len(asyncs)})")
 
 
 if __name__ == "__main__":
-    print("devices:", jax.devices(), file=sys.stderr)
     main()

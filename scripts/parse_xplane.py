@@ -57,6 +57,41 @@ def main():
         for name, ms in totals.most_common(top_n):
             print(f"{ms:8.2f} ms  x{counts[name]:<4d} {ms/total_ms*100:5.1f}%  "
                   f"{name[:100]}")
+
+        # Aggregate by model region (from the op_name metadata captured in
+        # long_name) and by HLO op category — turns the long overlapped-DMA
+        # tail into an actionable per-subsystem split.
+        import re as _re
+
+        region_pats = [
+            ("attention(pallas)", r"attention_fwd|attention_bwd|flash"),
+            ("stem", r"stem_convs|stem_bns"),
+            ("vit_blocks", r"blocks_\d|pos_embedding|pos_dropout"),
+            ("latent_heads", r"fc_mu|fc_var|to_latent|enc_adapter|dec_adapter|morph"),
+            ("decoder_input", r"decoder_input"),
+            ("decoder_convs", r"dec_ct_|dec_res_|dec_bns_|dec_out"),
+            ("loss", r"vessel_loss|loss"),
+            ("optimizer", r"adam|clip_by_global_norm|apply_updates|opt_state"),
+        ]
+        region_ms = collections.Counter()
+        cat_ms = collections.Counter()
+        for name, ms in totals.items():
+            ln = long_name.get(name, "")
+            hay = ln + " " + name
+            for region, pat in region_pats:
+                if _re.search(pat, hay):
+                    region_ms[region] += ms
+                    break
+            else:
+                region_ms["(other)"] += ms
+            cat = _re.match(r"%?([a-zA-Z\-_]+)", name)
+            cat_ms[cat.group(1).rstrip(".0123456789") if cat else "?"] += ms
+        print("\n=== by region ===")
+        for r, ms in region_ms.most_common():
+            print(f"{ms:8.2f} ms {ms/total_ms*100:5.1f}%  {r}")
+        print("\n=== by op category ===")
+        for c, ms in cat_ms.most_common(15):
+            print(f"{ms:8.2f} ms {ms/total_ms*100:5.1f}%  {c}")
     return 0
 
 

@@ -160,6 +160,37 @@ def test_vit_vae_remat_equivalence():
     chex.assert_trees_all_close(g0, g1, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_vit_vae_fused_stages_equivalence():
+    # fused_stages folds BN-apply+LeakyReLU into the consuming convs
+    # (ops/kernels/stage.py); same params -> same outputs/grads/batch_stats
+    # as the classic composition (up to f32 re-association).
+    kw = dict(img_size=(64, 64), latent_dim=16, embed_dim=64, depth=1, mlp_dim=96)
+    base = M.ViTVAE(**kw, fused_stages=False)
+    fused = M.ViTVAE(**kw, fused_stages=True)
+    x = jax.random.normal(KEY, (2, 64, 64, 1))
+    variables = base.init({"params": KEY, "dropout": KEY}, x, rng=KEY, train=True)
+
+    def run(model, params):
+        (recon, _, mu, logvar), updates = model.apply(
+            {**variables, "params": params}, x, rng=KEY, train=True,
+            rngs={"dropout": KEY}, mutable=["batch_stats"],
+        )
+        return recon, mu, logvar, updates["batch_stats"]
+
+    r0, mu0, lv0, bs0 = run(base, variables["params"])
+    r1, mu1, lv1, bs1 = run(fused, variables["params"])
+    chex.assert_trees_all_close(r0, r1, rtol=2e-4, atol=2e-4)
+    chex.assert_trees_all_close(bs0, bs1, rtol=1e-5, atol=1e-6)
+
+    def loss(model):
+        return lambda p: jnp.sum(run(model, p)[0] ** 2)
+
+    g0 = jax.grad(loss(base))(variables["params"])
+    g1 = jax.grad(loss(fused))(variables["params"])
+    chex.assert_trees_all_close(g0, g1, rtol=5e-3, atol=5e-3)
+
+
 def test_reparameterize_statistics():
     mu = jnp.full((20000,), 2.0)
     logvar = jnp.full((20000,), jnp.log(4.0))
