@@ -157,24 +157,21 @@ class ViTVAE(nn.Module):
     # (the ViT-block residuals it avoids are a small slice of step bytes).
     remat_blocks: bool = False
     # fused_stages folds each decoder BatchNorm-apply + LeakyReLU into the
-    # consuming convolution (ops/kernels/stage.py): the normalized activation
-    # never round-trips HBM (~1 GB/step of forward traffic at 768x1280 b8).
-    # None = auto: on for the packed formulation on single-chip TPU; off
-    # elsewhere (CPU tests and GSPMD meshes keep the reference composition).
+    # consuming convolution (ops/kernels/stage.py). None = auto: currently
+    # OFF — measured END-TO-END SLOWER at the 768x1280 b8 flagship (53.1 ms
+    # all-gated / 51.9 ms microbench-winners-only vs 46.2 ms pure-XLA,
+    # scripts/stage_fused_check.py + stage_winners_probe.py): in-graph XLA
+    # already fuses the normalize+activation into neighboring ops and
+    # schedules the convolutions better than the isolated-op microbenchmarks
+    # (scripts/stage_shape_probe.py) suggested. The kernels remain available
+    # (equivalence-tested, VMEM-budget-gated so opting in cannot OOM) for
+    # elementwise-bound shape regimes via fused_stages=True.
     fused_stages: Optional[bool] = None
 
     def _fused(self) -> bool:
         if self.fused_stages is not None:
             return self.fused_stages
-        if not self.packed:
-            return False
-        from causalvae_tpu.ops.kernels.stage import _on_tpu
-
-        try:
-            single = jax.device_count() == 1
-        except Exception:  # pragma: no cover
-            single = False
-        return single and _on_tpu()
+        return False
 
     @property
     def grid_hw(self):
@@ -310,22 +307,26 @@ class ViTVAE(nn.Module):
                                        groups=groups, emit_affine=True)
             return jnp.tile(mul, tiles), jnp.tile(add, tiles), 0.01
 
-        h = self.dec_ct[0](h)                              # (2gh, 2gw, 128)
+        h = self.dec_ct[0](h, use_pallas=fused)            # (2gh, 2gw, 128)
         if fused:
             h = self.dec_res[0](h, train=train,
                                 prologue=bn_affine(0, h, 1, 1), fused=True)
-            h = self.dec_ct[1](h, phase_output=True)       # L1: (2gh, 2gw, 256)
+            h = self.dec_ct[1](h, phase_output=True,
+                               use_pallas=True)            # L1: (2gh, 2gw, 256)
             h = self.dec_res[1](h, train=train, levels=1,
                                 prologue=bn_affine(1, h, 4, 4), fused=True)
-            h = self.dec_ct[2](h, phase_output=True, in_levels=1)  # L2: 512
+            h = self.dec_ct[2](h, phase_output=True, in_levels=1,
+                               use_pallas=True)            # L2: 512
             pro2 = bn_affine(2, h, 16, 4)                  # post-d2s width 128
             h = depth_to_space_2x(h)                       # L1: (4gh, 4gw, 128)
             h = self.dec_res[2](h, train=train, levels=1,
                                 prologue=pro2, fused=True)
-            h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
+            h = self.dec_ct[3](h, phase_output=True, in_levels=1,
+                               use_pallas=True)            # L2: 256
             h = self.dec_res[3](h, train=train, levels=2,
                                 prologue=bn_affine(3, h, 16, 16), fused=True)
-            h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
+            h = self.dec_ct[4](h, phase_output=True, in_levels=2,
+                               use_pallas=True)            # L3: 1024
             mul4, add4, slope4 = bn_affine(4, h, 64, 64)
             o = self.dec_out(h, levels=3,
                              prologue=(mul4, add4, slope4))  # (4gh, 4gw, 64)

@@ -262,7 +262,7 @@ class SubpixelConvTranspose2x(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, phase_output: bool = False,
-                 in_levels: int = 0) -> jnp.ndarray:
+                 in_levels: int = 0, use_pallas: bool = False) -> jnp.ndarray:
         """in_levels: number of 2x2 phase-packing levels already applied to
         ``x``. Output gains one more level (phase_output=True) or unpacks
         fully (phase_output=False, only valid at in_levels=0)."""
@@ -280,13 +280,18 @@ class SubpixelConvTranspose2x(nn.Module):
         bias_t = (jnp.tile(jnp.asarray(bias, self.dtype), 4 ** (in_levels + 1))
                   if bias is not None else
                   jnp.zeros((pk.shape[-1],), self.dtype))
-        # Route through the fused stage kernel on TPU (no prologue — these
-        # consume raw ResBlock outputs): keeps the whole decoder chain on
-        # default layouts between Pallas stages instead of relayout-copying
-        # at every XLA-conv boundary (ops/kernels/stage.py).
-        from causalvae_tpu.ops.kernels.stage import affine_act_conv
+        if use_pallas:
+            # fused_stages opt-in: route through the stage kernel (no
+            # prologue — these consume raw ResBlock outputs) so the decoder
+            # chain stays on default layouts between Pallas stages instead
+            # of relayout-copying at every XLA-conv boundary
+            # (ops/kernels/stage.py).
+            from causalvae_tpu.ops.kernels.stage import affine_act_conv
 
-        y = affine_act_conv(x, None, None, pk, bias_t, pad_lo=pl)
+            y = affine_act_conv(x, None, None, pk, bias_t, pad_lo=pl,
+                                use_pallas=True)
+        else:
+            y = same_conv(x, pk, pl) + bias_t
         if phase_output:
             return y  # packed in_levels+1 times
         assert in_levels == 0, "unpacked output only supported at in_levels=0"
@@ -319,13 +324,14 @@ class PhaseableConv3x3(nn.Module):
         bias_t = jnp.tile(bias, 4 ** levels) if levels else bias
         if prologue is not None:
             # (mul, add, slope) — fold the preceding BatchNorm-apply +
-            # LeakyReLU into this conv's input read (ops/kernels/stage.py):
-            # the normalized activation never round-trips HBM on TPU.
+            # LeakyReLU into this conv's input read (ops/kernels/stage.py).
+            # Prologues only exist under the models' fused_stages opt-in,
+            # so this requests the (budget-gated) Pallas kernels.
             from causalvae_tpu.ops.kernels.stage import affine_act_conv
 
             mul, add, slope = prologue
             return affine_act_conv(x, mul, add, pk, bias_t, slope=slope,
-                                   pad_lo=pl)
+                                   pad_lo=pl, use_pallas=True)
         y = same_conv(x, pk, pl)
         return y + bias_t
 
@@ -371,7 +377,7 @@ class LiftableStemConv(nn.Module):
 
             mul, add, slope = prologue
             return affine_act_conv(x, mul, add, pk, bias_t, slope=slope,
-                                   pad_lo=pl)
+                                   pad_lo=pl, use_pallas=True)
         y = same_conv(x, pk, pl)
         return y + bias_t
 

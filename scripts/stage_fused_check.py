@@ -36,54 +36,52 @@ def make_inputs(batch, hw, seed=0):
     return {"x": x, "m": m, "t": t}
 
 
+def _run_variant(model, variables, batch, key):
+    """(recon f32, batch_stats, grads) for one model variant."""
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b["x"], b["m"], b["t"], rng=key, train=True,
+        rngs={"dropout": key}, mutable=["batch_stats"]))
+    out, updates = fwd(variables, batch)
+
+    def loss(p):
+        o, _ = model.apply(
+            {**variables, "params": p}, batch["x"], batch["m"],
+            batch["t"], rng=key, train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+        return jnp.sum(o.recon_x.astype(jnp.float32) ** 2) * 1e-3
+
+    grads = jax.tree.map(np.asarray, jax.jit(jax.grad(loss))(variables["params"]))
+    return (np.asarray(out.recon_x, np.float32),
+            jax.tree.map(np.asarray, updates["batch_stats"]), grads)
+
+
 def check_midsize(dtype, tol_f, tol_bs, tol_g):
+    """f32: fused (via XLA path, Pallas gated off at f32) must match the
+    reference composition to float tolerance."""
     hw = (192, 320)
     cfg = VesselConfig()
     batch = make_inputs(4, hw, seed=1)
     key = jax.random.PRNGKey(0)
-    outs = {}
     variables = None
+    outs = {}
     for fused in (False, True):
         model = CausalViTVAE(img_size=hw, m_dim=12, t_dim=19, z_dim=cfg.z_dim,
                              dtype=dtype, packed_io=True,
                              fused_stages=fused)
-        if not outs:
+        if variables is None:
             variables = model.init({"params": key, "dropout": key},
                                    batch["x"][:1], batch["m"][:1],
                                    batch["t"][:1], rng=key, train=True)
-        fwd = jax.jit(lambda v, b: model.apply(
-            v, b["x"], b["m"], b["t"], rng=key, train=True,
-            rngs={"dropout": key}, mutable=["batch_stats"]))
-        out, updates = fwd(variables, batch)
-        outs[fused] = (np.asarray(out.recon_x, np.float32),
-                       jax.tree.map(np.asarray, updates["batch_stats"]))
-    r0, bs0 = outs[False]
-    r1, bs1 = outs[True]
+        outs[fused] = _run_variant(model, variables, batch, key)
+    r0, bs0, g0 = outs[False]
+    r1, bs1, g1 = outs[True]
     err = np.max(np.abs(r0 - r1)) / (np.max(np.abs(r0)) + 1e-9)
     print(f"midsize {dtype.__name__} recon rel-max-err fused vs ref: {err:.2e}",
           flush=True)
     bs_err = max(float(np.max(np.abs(a - b)))
                  for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(bs1)))
     print(f"midsize batch_stats max-abs-err: {bs_err:.2e}", flush=True)
-
-    # gradients: exercises the fused BACKWARD kernel on TPU
-    grads = {}
-    for fused in (False, True):
-        model = CausalViTVAE(img_size=hw, m_dim=12, t_dim=19, z_dim=cfg.z_dim,
-                             dtype=dtype, packed_io=True,
-                             fused_stages=fused)
-
-        def loss(p):
-            out, _ = model.apply(
-                {**variables, "params": p}, batch["x"], batch["m"],
-                batch["t"], rng=key, train=True,
-                rngs={"dropout": key}, mutable=["batch_stats"])
-            return jnp.sum(out.recon_x.astype(jnp.float32) ** 2) * 1e-3
-
-        grads[fused] = jax.tree.map(np.asarray,
-                                    jax.jit(jax.grad(loss))(variables["params"]))
-    flat0 = jax.tree.leaves(grads[False])
-    flat1 = jax.tree.leaves(grads[True])
+    flat0, flat1 = jax.tree.leaves(g0), jax.tree.leaves(g1)
     # normalize by the GLOBAL gradient scale: conv biases feeding a BN have
     # mathematically-zero gradients (the mean subtraction cancels them), so
     # per-leaf relative error on those leaves is noise/noise
@@ -94,6 +92,59 @@ def check_midsize(dtype, tol_f, tol_bs, tol_g):
     assert bs_err < tol_bs, bs_err
     assert gerr < tol_g, gerr
     print(f"MIDSIZE {dtype.__name__} OK", flush=True)
+
+
+def check_midsize_bf16(ratio=2.0):
+    """bf16 correctness vs an f32 ORACLE, not vs the bf16 XLA path.
+
+    A ~15-conv decoder where every stage renormalizes (BatchNorm) chaotically
+    amplifies per-stage rounding: two *equally-correct* bf16 programs (XLA
+    composition vs Pallas fused kernels, each ~4e-3/stage from the f32 truth,
+    scripts/stage_shape_probe.py) drift apart far more than either drifts
+    from f32. The meaningful criterion: the fused bf16 path must sit no
+    further from the f32 oracle than the XLA bf16 path does (x ``ratio``)."""
+    hw = (192, 320)
+    cfg = VesselConfig()
+    batch = make_inputs(4, hw, seed=1)
+    key = jax.random.PRNGKey(0)
+
+    def build(dtype, fused):
+        return CausalViTVAE(img_size=hw, m_dim=12, t_dim=19, z_dim=cfg.z_dim,
+                            dtype=dtype, packed_io=True, fused_stages=fused)
+
+    model = build(jnp.float32, False)
+    variables = model.init({"params": key, "dropout": key},
+                           batch["x"][:1], batch["m"][:1],
+                           batch["t"][:1], rng=key, train=True)
+    # oracle at full f32 matmul precision (TPU default computes f32 convs
+    # through bf16 passes)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    oracle = _run_variant(model, variables, batch, key)
+    jax.config.update("jax_default_matmul_precision", None)
+
+    errs = {}
+    for fused in (False, True):
+        r, bs, g = _run_variant(build(jnp.bfloat16, fused), variables, batch, key)
+        ro, bso, go = oracle
+        rerr = np.max(np.abs(r - ro)) / (np.max(np.abs(ro)) + 1e-9)
+        rmean = np.mean(np.abs(r - ro)) / (np.mean(np.abs(ro)) + 1e-9)
+        bs_err = max(float(np.max(np.abs(a - b)))
+                     for a, b in zip(jax.tree.leaves(bs), jax.tree.leaves(bso)))
+        flat, flato = jax.tree.leaves(g), jax.tree.leaves(go)
+        gmax = max(float(np.max(np.abs(a))) for a in flato)
+        gerr = max(float(np.max(np.abs(a - b)))
+                   for a, b in zip(flat, flato)) / gmax
+        errs[fused] = (rerr, rmean, bs_err, gerr)
+        tag = "fused" if fused else "xla  "
+        print(f"midsize bf16 {tag} vs f32 oracle: recon max={rerr:.2e} "
+              f"mean={rmean:.2e} bstats={bs_err:.2e} grad={gerr:.2e}",
+              flush=True)
+    for i, name in enumerate(("recon max", "recon mean", "batch_stats", "grad")):
+        ref_e, fus_e = errs[False][i], errs[True][i]
+        assert fus_e <= ratio * ref_e + 1e-3, (
+            f"{name}: fused bf16 err {fus_e:.3e} > {ratio} x XLA bf16 err "
+            f"{ref_e:.3e} vs the f32 oracle")
+    print("MIDSIZE bfloat16 OK (oracle-relative)", flush=True)
 
 
 def time_flagship():
@@ -147,12 +198,8 @@ if __name__ == "__main__":
         jax.config.update("jax_default_matmul_precision", "highest")
         check_midsize(jnp.float32, 1e-4, 1e-3, 1e-4)
         jax.config.update("jax_default_matmul_precision", None)
-        # bf16: the Pallas fwd+bwd kernels engage. Tolerances are chain-level
-        # bf16 rounding: each stage renormalizes (BatchNorm), so per-stage
-        # ~4e-3 kernel-vs-XLA rounding diffs accumulate ~additively across
-        # the ~15-conv decoder (measured 5e-2 recon; per-kernel compiled
-        # parity is ~3e-3, and the f32 path above is exact — see
-        # scripts/stage_kernel_tpu_test.py).
-        check_midsize(jnp.bfloat16, 8e-2, 2e-2, 6e-2)
+        # bf16: the Pallas fwd+bwd kernels engage; judged against the f32
+        # oracle (chain-chaos-safe criterion, see check_midsize_bf16)
+        check_midsize_bf16()
     if mode in ("flagship", "both"):
         time_flagship()
