@@ -507,6 +507,154 @@ def cmd_cascade(args):
     print(f"[cascade] -> {os.path.join(args.out, 'sensitivity_ranking.csv')}")
 
 
+def _serving_model(args):
+    """(model, variables, img_hw) for export/serve: restore a trained
+    checkpoint when --ckpt points at a train run dir, else fresh-init params
+    (deployment-template / smoke mode, noted on stdout)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from causalvae_tpu.train.state import TrainState
+
+    key = jax.random.PRNGKey(0)
+    if args.workload in ("mnist", "mnist-bayes"):
+        from causalvae_tpu.config import MnistConfig
+        from causalvae_tpu.models.heads import LatentDiscriminator
+        from causalvae_tpu.models.vae import CausalConvVAE
+
+        cfg = MnistConfig()
+        bayes = args.workload.endswith("bayes")
+        model = CausalConvVAE(m_dim=cfg.m_dim, t_dim=cfg.t_dim, z_dim=cfg.z_dim,
+                              gaussian_mechanism=bayes, decode_real_m=bayes)
+        img_hw = cfg.image_hw
+        x = jnp.zeros((1, *img_hw, 1))
+        m, t = jnp.zeros((1, cfg.m_dim)), jnp.zeros((1, cfg.t_dim))
+        variables = model.init({"params": key}, x, m, t, rng=key)
+        if getattr(args, "ckpt", None):
+            from causalvae_tpu.train.checkpoints import CheckpointBook
+
+            disc = LatentDiscriminator(t_dim=cfg.t_dim)
+            d_vars = disc.init(key, jnp.zeros((1, cfg.z_dim)))
+            template = (TrainState.create(variables, optax.adam(cfg.lr)),
+                        TrainState.create(d_vars, optax.adam(cfg.lr)))
+            vae_state, _ = CheckpointBook(args.ckpt).restore("latest", template)
+            variables = vae_state.variables
+            print(f"[serve] restored {args.workload} params from {args.ckpt}")
+        else:
+            print("[serve] no --ckpt: serving fresh-initialized parameters "
+                  "(smoke/template mode)")
+        return model, variables, img_hw
+
+    # vessel: serve the checkpoint through the spatial (unpacked-IO) model —
+    # parameters are identical between packed/unpacked execution
+    # (models/vit.py phase packing is an execution transform, not a
+    # parameterization), so train --packed-io checkpoints serve raw images.
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.models.vit import CausalViTVAE
+
+    cfg = VesselConfig()
+    img_hw = tuple(args.img_hw) if getattr(args, "img_hw", None) else (
+        cfg.img_height, cfg.img_width)
+    model = CausalViTVAE(
+        img_size=img_hw, m_dim=cfg.m_dim, t_dim=cfg.t_dim, z_dim=cfg.z_dim,
+        vit_latent_dim=cfg.vit_latent_dim, embed_dim=cfg.vit_embed_dim,
+        depth=cfg.vit_depth, heads=cfg.vit_heads, mlp_dim=cfg.vit_mlp_dim,
+    )
+    x = jnp.zeros((1, *img_hw, 1))
+    m, t = jnp.zeros((1, cfg.m_dim)), jnp.zeros((1, cfg.t_dim))
+    variables = model.init({"params": key, "dropout": key}, x, m, t,
+                           rng=key, train=False)
+    if getattr(args, "ckpt", None):
+        from causalvae_tpu.train.checkpoints import CheckpointBook
+
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                         optax.adam(cfg.lr))
+        state = CheckpointBook(args.ckpt).restore(
+            "latest", TrainState.create(variables, tx))
+        variables = state.variables
+        print(f"[serve] restored vessel params from {args.ckpt}")
+    else:
+        print("[serve] no --ckpt: serving fresh-initialized parameters "
+              "(smoke/template mode)")
+    return model, variables, img_hw
+
+
+def cmd_export(args):
+    """AOT deployment export: endpoints -> StableHLO artifacts + manifest
+    (serve/export.py). The exported directory serves without model code."""
+    from causalvae_tpu.serve import endpoints as EP
+    from causalvae_tpu.serve import export as EX
+
+    model, variables, img_hw = _serving_model(args)
+    eps = EP.vae_endpoints(model, variables)
+    specs = EP.endpoint_arg_specs(model, img_hw=img_hw)
+    out = os.path.join(args.out, f"export_{args.workload}")
+    manifest = EX.export_endpoints(
+        eps, specs, out, buckets=tuple(args.buckets),
+        metadata={"workload": args.workload, "img_hw": list(img_hw)},
+    )
+    sizes = {
+        name: sum(os.path.getsize(os.path.join(out, f))
+                  for f in info["files"].values())
+        for name, info in manifest["endpoints"].items()
+    }
+    print(json.dumps({
+        "export_dir": out,
+        "platform": manifest["platform"],
+        "endpoints": {n: {"buckets": manifest["buckets"],
+                          "bytes": sizes[n]} for n in sorted(sizes)},
+    }, indent=1))
+
+
+def cmd_serve(args):
+    """HTTP serving: dynamic-batching engine behind /v1/<endpoint> (.npz
+    bodies). --export-dir serves AOT artifacts (no tracing at startup);
+    otherwise endpoints jit-compile lazily per bucket. --smoke brings the
+    server up on an ephemeral port, round-trips one request, and exits."""
+    import numpy as np  # noqa: F811 (CLI-local)
+
+    from causalvae_tpu.serve import http as H
+    from causalvae_tpu.serve.engine import BatchingEngine
+
+    if getattr(args, "export_dir", None):
+        from causalvae_tpu.serve.export import load_exported
+
+        bundle = load_exported(args.export_dir)
+        engine = BatchingEngine(bundle.as_endpoints(), jit=False,
+                                buckets=tuple(args.buckets))
+        t_dim = None
+        for name in ("predict_m", "uncertainty"):
+            if name in bundle.endpoint_names:
+                t_dim = bundle.manifest["endpoints"][name]["arg_shapes"][0][0]
+                break
+    else:
+        from causalvae_tpu.serve.endpoints import vae_endpoints
+
+        model, variables, _ = _serving_model(args)
+        engine = BatchingEngine(vae_endpoints(model, variables),
+                                buckets=tuple(args.buckets))
+        t_dim = int(model.t_dim)
+
+    if args.smoke:
+        srv = H.serve(engine, port=0, background=True)
+        port = srv.server_address[1]
+        try:
+            t = np.eye(t_dim or 10, dtype=np.float32)[:3]
+            out = H.request_npz("127.0.0.1", port, "predict_m", [t])
+            print(json.dumps({
+                "smoke": "ok", "port": port,
+                "predict_m_shape": list(np.asarray(out[0]).shape),
+                "engine_stats": dict(engine.stats),
+            }))
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            engine.close()
+        return
+    H.serve(engine, host=args.host, port=args.port)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("causalvae", description=__doc__)
     p.add_argument("--out", default="results")
@@ -584,6 +732,32 @@ def build_parser() -> argparse.ArgumentParser:
     vr.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"))
     vr.add_argument("--data"), vr.add_argument("--csv")
     vr.set_defaults(fn=cmd_vessel_report)
+
+    ex = sub.add_parser("export", help="AOT-export serving endpoints "
+                        "(StableHLO artifacts + manifest)")
+    ex.add_argument("workload", choices=["mnist", "mnist-bayes", "vessel"])
+    ex.add_argument("--ckpt", help="train run dir to restore (latest)")
+    ex.add_argument("--buckets", type=int, nargs="+", default=[1, 8, 32],
+                    help="static batch-size ladder to compile")
+    ex.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"))
+    ex.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser("serve", help="HTTP inference serving "
+                        "(dynamic-batching engine, .npz protocol)")
+    sv.add_argument("workload", nargs="?", default="mnist",
+                    choices=["mnist", "mnist-bayes", "vessel"])
+    sv.add_argument("--ckpt", help="train run dir to restore (latest)")
+    sv.add_argument("--export-dir", help="serve AOT artifacts from `export` "
+                    "instead of live endpoints")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8900)
+    sv.add_argument("--buckets", type=int, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32])
+    sv.add_argument("--img-hw", type=int, nargs=2, metavar=("H", "W"))
+    sv.add_argument("--smoke", action="store_true",
+                    help="start on an ephemeral port, round-trip one "
+                    "request, exit")
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

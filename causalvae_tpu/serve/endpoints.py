@@ -1,0 +1,146 @@
+"""Pure inference endpoints for serving a trained causal VAE.
+
+Each endpoint is a closed-over-parameters function ``arrays -> arrays`` with
+the batch on axis 0 of every argument, so it is directly jittable, AOT
+exportable (serve/export.py) and batchable by the dynamic-batching engine
+(serve/engine.py). The endpoints cover the model entry points the reference's
+analysis/counterfactual scripts invoke by hand:
+
+- encode / decode / reconstruct    (ref vessel_analysis/04_generate_counterfactual/
+                                    generate_counterfactual.py:54-108)
+- predict_m  (mechanism M' = f(T),  ref vessel_analysis/00_core/models.py:243-250)
+- do_t       (full counterfactual grid over every treatment target,
+              ref mnist_test/01_baseline_causal_vae/visualize.py:12-99)
+- uncertainty (Gaussian mechanism head sigma, ref models.py:53-60 /
+              mnist_test/06_model_experiment/models.py:34-39)
+
+``ensemble_endpoints`` builds the k-fold-ensemble variants (mean + spread)
+from stacked fold parameters — one vmapped device launch per request, the
+serving form of the reference's 5-checkpoint Python loops (ref
+vessel_analysis/04_generate_counterfactual/ensemble_reconstruction.py:16-166).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from causalvae_tpu.scm import ensemble as E
+from causalvae_tpu.scm import intervene as I
+
+Endpoint = Callable[..., object]
+
+
+def vae_endpoints(
+    model,
+    variables,
+    *,
+    t_targets: Optional[jnp.ndarray] = None,
+) -> Dict[str, Endpoint]:
+    """Build the serving endpoints for one trained model.
+
+    Works for any model exposing ``encode(x, m, t)``, ``decode(m, z)`` and
+    ``predict_m(t)`` (CausalConvVAE, CausalVesselVAE, CausalViTVAE — the
+    same contract scm/intervene.py uses). ``t_targets`` fixes the
+    counterfactual target set for the ``do_t`` endpoint (default: the
+    identity matrix over all t_dim conditions, i.e. "every treatment").
+    """
+    if t_targets is None:
+        t_dim = int(model.t_dim)
+        t_targets = jnp.eye(t_dim, dtype=jnp.float32)
+    t_targets = jnp.asarray(t_targets)
+
+    def encode(x, m, t):
+        """(mu, logvar) of q(z | x, m, t)."""
+        return model.apply(variables, x, m, t, method=model.encode)
+
+    def decode(m, z):
+        """x' = decode(m, z)."""
+        return model.apply(variables, m, z, method=model.decode)
+
+    def predict_m(t):
+        """Mechanism mean M' = f(T)."""
+        return model.apply(variables, t, method=model.predict_m)
+
+    def reconstruct(x, m, t):
+        """Mean-abducted reconstruction: decode(m, E[z | x, m, t])."""
+        mu, _ = encode(x, m, t)
+        return decode(m, mu)
+
+    def do_t(x, m, t):
+        """Counterfactual grid: (B, n_targets, *image) — abduct each source's
+        z, then decode under every target treatment's mechanism output."""
+        return I.do_t_grid(model, variables, x, m, t, t_targets)
+
+    eps: Dict[str, Endpoint] = {
+        "encode": encode,
+        "decode": decode,
+        "predict_m": predict_m,
+        "reconstruct": reconstruct,
+        "do_t": do_t,
+    }
+
+    # Gaussian mechanism head (Bayesian variants): aleatoric sigma per (T, F).
+    # Probed structurally (flax setup attrs are invisible on unbound modules,
+    # and CausalConvVAE's mechanism is gaussian only when configured so).
+    def _morph_raw(t):
+        return model.apply(variables, t, method=lambda mdl, t_: mdl.morph(t_))
+
+    if getattr(model, "gaussian_mechanism", True):
+        try:
+            out = jax.eval_shape(_morph_raw, jnp.zeros((1, t_targets.shape[-1])))
+            gaussian = isinstance(out, tuple) and len(out) == 2
+        except Exception:
+            gaussian = False
+        if gaussian:
+            def uncertainty(t):
+                """(m_mu, m_sigma) of P(M | T)."""
+                m_mu, m_logvar = _morph_raw(t)
+                return m_mu, jnp.exp(0.5 * jnp.clip(m_logvar, -10.0, 10.0))
+
+            eps["uncertainty"] = uncertainty
+    return eps
+
+
+def ensemble_endpoints(model, stacked_variables) -> Dict[str, Endpoint]:
+    """Serving endpoints over a k-fold ensemble (stacked fold parameters).
+
+    ``decode``/``predict_m`` return (mean, spread) across folds — the
+    ensemble uncertainty surface of the reference's analysis stage served
+    online (ref ensemble_reconstruction.py:54-92, kfold_pairwise.py:80-127).
+    """
+
+    def decode(m, z):
+        return E.ensemble_decode(model, stacked_variables, m, z)
+
+    def predict_m(t):
+        return E.ensemble_predict_m(model, stacked_variables, t)
+
+    def uncertainty(t):
+        return E.ensemble_morph_distribution(model, stacked_variables, t)
+
+    return {"decode": decode, "predict_m": predict_m, "uncertainty": uncertainty}
+
+
+def endpoint_arg_specs(
+    model, *, m_dim: Optional[int] = None, t_dim: Optional[int] = None,
+    z_dim: Optional[int] = None, img_hw=None, channels: int = 1,
+) -> Dict[str, tuple]:
+    """Per-sample (batch-axis-stripped) argument shapes for each endpoint —
+    the shape contract serve/export.py and serve/engine.py compile against."""
+    m_dim = int(m_dim if m_dim is not None else model.m_dim)
+    t_dim = int(t_dim if t_dim is not None else model.t_dim)
+    z_dim = int(z_dim if z_dim is not None else model.z_dim)
+    if img_hw is None:
+        img_hw = tuple(getattr(model, "img_size", (28, 28)))
+    img = (*img_hw, channels)
+    return {
+        "encode": (img, (m_dim,), (t_dim,)),
+        "decode": ((m_dim,), (z_dim,)),
+        "predict_m": ((t_dim,),),
+        "reconstruct": (img, (m_dim,), (t_dim,)),
+        "do_t": (img, (m_dim,), (t_dim,)),
+        "uncertainty": ((t_dim,),),
+    }

@@ -1,0 +1,228 @@
+"""Dynamic-batching inference engine with static-shape bucket compilation.
+
+TPU/XLA serving wants static shapes: every distinct batch size is a distinct
+compiled executable. The engine therefore compiles each endpoint at a small
+fixed ladder of batch-size buckets, and at request time coalesces whatever
+concurrent requests are pending into the smallest bucket that fits (padding
+with repeated rows), runs ONE device launch, and scatters the rows back to
+the callers' futures. Result: zero recompiles at serving time, and batch-1
+client code transparently rides full-batch device efficiency.
+
+The reference's closest analogue is the per-sample Python decode loops of its
+counterfactual/analysis scripts (ref vessel_analysis/04_generate_counterfactual/
+generate_counterfactual.py:85-108, ensemble_reconstruction.py:54-92); this is
+the production form of the same entry points.
+
+Usage:
+
+    eng = BatchingEngine(vae_endpoints(model, variables))
+    fut = eng.submit("reconstruct", x1, m1, t1)   # (1, ...) rows
+    out = fut.result()
+    eng.close()
+
+Thread model: any number of producer threads call ``submit``/``infer``;
+exactly one worker thread touches jax (single-stream dispatch — jax arrays
+and executables are not locked, the queue is).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BUCKETS: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+
+
+class _Request:
+    __slots__ = ("name", "args", "n", "future")
+
+    def __init__(self, name: str, args: Tuple[np.ndarray, ...], n: int):
+        self.name = name
+        self.args = args
+        self.n = n
+        self.future: Future = Future()
+
+
+class BatchingEngine:
+    """Coalesce concurrent endpoint requests into bucket-padded device calls.
+
+    Parameters
+    ----------
+    endpoints: name -> pure function (batch axis 0 on every arg).
+    buckets:   ascending batch-size ladder; requests larger than the top
+               bucket are split into top-bucket chunks.
+    max_delay_s: how long the worker waits for more requests to coalesce
+               once it holds at least one (latency/throughput knob).
+    jit:       wrap endpoints in jax.jit (default). Pass False for endpoints
+               that are already compiled artifacts (serve/export.py
+               ``ExportedBundle.as_endpoints`` — they pad internally and are
+               not traceable).
+    """
+
+    def __init__(
+        self,
+        endpoints: Dict[str, Callable],
+        *,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        max_delay_s: float = 0.002,
+        jit: bool = True,
+    ):
+        if not endpoints:
+            raise ValueError("need at least one endpoint")
+        self._endpoints = dict(endpoints)
+        self._buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if any(b <= 0 for b in self._buckets):
+            raise ValueError(f"buckets must be positive, got {buckets}")
+        self._max_delay_s = float(max_delay_s)
+        self._jitted: Dict[str, Callable] = {
+            name: (jax.jit(fn) if jit else fn)
+            for name, fn in self._endpoints.items()
+        }
+        self._q: "queue.Queue[_Request | None]" = queue.Queue()
+        self._closed = False
+        self.stats = {"launches": 0, "rows": 0, "padded_rows": 0}
+        self._worker = threading.Thread(
+            target=self._run, name="causalvae-serve-worker", daemon=True
+        )
+        self._worker.start()
+
+    # -- client API ---------------------------------------------------------
+    @property
+    def endpoint_names(self):
+        return sorted(self._endpoints)
+
+    def submit(self, name: str, *args) -> Future:
+        """Enqueue one request; every arg is (n, ...) with a common n."""
+        if self._closed:
+            raise RuntimeError("engine is closed")
+        if name not in self._endpoints:
+            raise KeyError(f"unknown endpoint {name!r}; have {sorted(self._endpoints)}")
+        arrs = tuple(np.asarray(a) for a in args)
+        if not arrs:
+            raise ValueError("endpoint requests need at least one array argument")
+        n = arrs[0].shape[0]
+        if any(a.shape[0] != n for a in arrs):
+            raise ValueError(
+                f"inconsistent batch axis: {[a.shape for a in arrs]}")
+        req = _Request(name, arrs, n)
+        self._q.put(req)
+        return req.future
+
+    def infer(self, name: str, *args):
+        """Synchronous convenience wrapper around ``submit``."""
+        return self.submit(name, *args).result()
+
+    def close(self):
+        """Drain and stop the worker (idempotent)."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # -- worker -------------------------------------------------------------
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _run(self):
+        top = self._buckets[-1]
+        while True:
+            head = self._q.get()
+            if head is None:
+                return
+            # coalesce: same-endpoint requests arriving within max_delay_s,
+            # up to the top bucket
+            group = [head]
+            rows = head.n
+            while rows < top:
+                try:
+                    nxt = self._q.get(timeout=self._max_delay_s)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(group)
+                    return
+                if nxt.name != head.name:
+                    # different endpoint: flush current group first, then
+                    # start over with the new head
+                    self._flush(group)
+                    group, rows = [nxt], nxt.n
+                    head = nxt
+                    continue
+                group.append(nxt)
+                rows += nxt.n
+            self._flush(group)
+
+    def _flush(self, group):
+        try:
+            self._execute(group)
+        except Exception as e:  # pragma: no cover - defensive
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _execute(self, group):
+        name = group[0].name
+        fn = self._jitted[name]
+        top = self._buckets[-1]
+        # chunk the coalesced rows into top-bucket-sized launches
+        pending = list(group)
+        while pending:
+            chunk, rows = [], 0
+            while pending and rows + pending[0].n <= top:
+                r = pending.pop(0)
+                chunk.append(r)
+                rows += r.n
+            if not chunk:  # single oversized request: split it
+                r = pending.pop(0)
+                outs = []
+                for s in range(0, r.n, top):
+                    part = tuple(a[s : s + top] for a in r.args)
+                    outs.append(self._launch(fn, [(part, min(top, r.n - s))]))
+                merged = jax.tree.map(
+                    lambda *xs: np.concatenate(xs, axis=0), *[o[0] for o in outs]
+                )
+                r.future.set_result(merged)
+                continue
+            results = self._launch(fn, [(r.args, r.n) for r in chunk])
+            for r, out in zip(chunk, results):
+                r.future.set_result(out)
+
+    def _launch(self, fn, parts):
+        """One padded device launch; returns per-part output trees."""
+        rows = sum(n for _, n in parts)
+        bucket = self._bucket_for(rows)
+        args0 = parts[0][0]
+        batched = []
+        for i in range(len(args0)):
+            cat = np.concatenate([p[0][i] for p in parts], axis=0)
+            if rows < bucket:  # pad by repeating the last row (finite values)
+                pad = np.repeat(cat[-1:], bucket - rows, axis=0)
+                cat = np.concatenate([cat, pad], axis=0)
+            batched.append(jnp.asarray(cat))
+        out = fn(*batched)
+        out = jax.device_get(out)
+        self.stats["launches"] += 1
+        self.stats["rows"] += rows
+        self.stats["padded_rows"] += bucket - rows
+        results, offset = [], 0
+        for _, n in parts:
+            lo = offset
+            results.append(jax.tree.map(lambda x: x[lo : lo + n], out))
+            offset += n
+        return results

@@ -1,0 +1,218 @@
+"""Serving subsystem: endpoints, dynamic batching, AOT export, HTTP.
+
+Verifies the serve/ package against direct model.apply ground truth on the
+small MNIST-family model (CausalConvVAE), covering: endpoint math parity,
+bucket padding correctness (padded rows must not leak into results), request
+coalescing across threads, export->deserialize round-trips, and the .npz
+HTTP protocol end-to-end.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from causalvae_tpu.config import MnistConfig
+from causalvae_tpu.models.vae import CausalConvVAE
+from causalvae_tpu.serve.endpoints import endpoint_arg_specs, vae_endpoints
+from causalvae_tpu.serve.engine import BatchingEngine
+
+
+@pytest.fixture(scope="module")
+def served_model():
+    cfg = MnistConfig()
+    model = CausalConvVAE(m_dim=cfg.m_dim, t_dim=cfg.t_dim, z_dim=cfg.z_dim,
+                          gaussian_mechanism=True, decode_real_m=True)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 28, 28, 1))
+    m, t = jnp.zeros((1, cfg.m_dim)), jnp.zeros((1, cfg.t_dim))
+    variables = model.init({"params": key}, x, m, t, rng=key)
+    return model, variables, cfg
+
+
+def _batch(rng, cfg, n):
+    x = rng.random((n, 28, 28, 1)).astype(np.float32)
+    m = rng.standard_normal((n, cfg.m_dim)).astype(np.float32)
+    t = np.eye(cfg.t_dim, dtype=np.float32)[rng.integers(0, cfg.t_dim, n)]
+    return x, m, t
+
+
+def test_endpoints_match_direct_apply(served_model, rng):
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    assert set(eps) == {"encode", "decode", "predict_m", "reconstruct",
+                        "do_t", "uncertainty"}
+    x, m, t = _batch(rng, cfg, 3)
+    mu, logvar = eps["encode"](x, m, t)
+    mu_ref, logvar_ref = model.apply(variables, x, m, t, method=model.encode)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(logvar), np.asarray(logvar_ref), rtol=1e-6)
+
+    recon = eps["reconstruct"](x, m, t)
+    ref = model.apply(variables, m, np.asarray(mu_ref), method=model.decode)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    grid = eps["do_t"](x, m, t)
+    assert grid.shape == (3, cfg.t_dim, 28, 28, 1)
+
+    m_mu, m_sigma = eps["uncertainty"](t)
+    assert m_mu.shape == (3, cfg.m_dim) and (np.asarray(m_sigma) > 0).all()
+
+
+def test_deterministic_mechanism_has_no_uncertainty_endpoint():
+    model = CausalConvVAE(m_dim=4, t_dim=5, z_dim=3)  # deterministic C1
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key}, jnp.zeros((1, 28, 28, 1)), jnp.zeros((1, 4)),
+        jnp.zeros((1, 5)), rng=key)
+    assert "uncertainty" not in vae_endpoints(model, variables)
+
+
+def test_engine_batches_and_pads_correctly(served_model, rng):
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    x, m, t = _batch(rng, cfg, 7)
+    direct = np.asarray(eps["reconstruct"](x, m, t))
+
+    with BatchingEngine(eps, buckets=(1, 4, 8), max_delay_s=0.01) as eng:
+        # ragged single/odd-size submissions across threads; results must be
+        # row-exact vs the direct full-batch call (padding never leaks)
+        futs = [eng.submit("reconstruct", x[i : i + sz], m[i : i + sz], t[i : i + sz])
+                for i, sz in zip([0, 1, 2, 5], [1, 1, 3, 2])]
+        outs = [f.result(timeout=120) for f in futs]
+        got = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        np.testing.assert_allclose(got, direct, rtol=2e-5, atol=2e-6)
+        # tuple-output endpoint through the engine
+        mu, logvar = eng.infer("encode", x, m, t)
+        mu_ref, _ = eps["encode"](x, m, t)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                                   rtol=2e-5, atol=2e-6)
+        assert eng.stats["launches"] >= 1
+        assert eng.stats["rows"] >= 14
+
+
+def test_engine_oversized_request_chunks(served_model, rng):
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    t = np.eye(cfg.t_dim, dtype=np.float32)[
+        rng.integers(0, cfg.t_dim, 11)]
+    with BatchingEngine({"predict_m": eps["predict_m"]}, buckets=(1, 4)) as eng:
+        out = eng.infer("predict_m", t)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(eps["predict_m"](t)), rtol=2e-5, atol=2e-6)
+
+
+def test_engine_concurrent_producers(served_model, rng):
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    t_all = np.eye(cfg.t_dim, dtype=np.float32)
+    direct = np.asarray(eps["predict_m"](t_all))
+    results = {}
+
+    with BatchingEngine({"predict_m": eps["predict_m"]},
+                        buckets=(1, 2, 4, 8, 16), max_delay_s=0.02) as eng:
+        def client(i):
+            results[i] = np.asarray(eng.infer("predict_m", t_all[i : i + 1]))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(cfg.t_dim)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        stats = dict(eng.stats)
+    for i in range(cfg.t_dim):
+        np.testing.assert_allclose(results[i][0], direct[i], rtol=2e-5, atol=2e-6)
+    # coalescing happened: fewer device launches than requests
+    assert stats["launches"] < cfg.t_dim
+
+
+def test_export_roundtrip(served_model, rng, tmp_path):
+    from causalvae_tpu.serve.export import export_endpoints, load_exported
+
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    specs = endpoint_arg_specs(model)
+    out = str(tmp_path / "export")
+    manifest = export_endpoints(
+        {k: eps[k] for k in ("encode", "predict_m", "reconstruct")},
+        specs, out, buckets=(1, 4))
+    assert set(manifest["endpoints"]) == {"encode", "predict_m", "reconstruct"}
+
+    bundle = load_exported(out)
+    x, m, t = _batch(rng, cfg, 3)  # 3 -> padded to bucket 4
+    got = bundle.call("reconstruct", x, m, t)
+    ref = np.asarray(eps["reconstruct"](x, m, t))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-6)
+    # above-top-bucket chunking
+    x6, m6, t6 = _batch(rng, cfg, 6)
+    got6 = bundle.call("reconstruct", x6, m6, t6)
+    ref6 = np.asarray(eps["reconstruct"](x6, m6, t6))
+    np.testing.assert_allclose(np.asarray(got6), ref6, rtol=2e-5, atol=2e-6)
+    # tuple outputs survive the round-trip
+    mu, logvar = bundle.call("encode", x, m, t)
+    mu_ref, logvar_ref = eps["encode"](x, m, t)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=2e-5, atol=2e-6)
+    # bundle endpoints drive the engine directly (jit=False)
+    with BatchingEngine(bundle.as_endpoints(), jit=False, buckets=(1, 4)) as eng:
+        got_e = eng.infer("predict_m", t)
+        np.testing.assert_allclose(
+            np.asarray(got_e), np.asarray(eps["predict_m"](t)),
+            rtol=2e-5, atol=2e-6)
+
+
+def test_http_server_roundtrip(served_model, rng):
+    from causalvae_tpu.serve import http as H
+
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    engine = BatchingEngine(eps, buckets=(1, 4, 8), max_delay_s=0.01)
+    srv = H.serve(engine, port=0, background=True)
+    host, port = srv.server_address[0], srv.server_address[1]
+    try:
+        x, m, t = _batch(rng, cfg, 2)
+        out = H.request_npz(host, port, "encode", [x, m, t])
+        mu_ref, logvar_ref = eps["encode"](x, m, t)
+        np.testing.assert_allclose(out[0], np.asarray(mu_ref), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(out[1], np.asarray(logvar_ref), rtol=2e-5, atol=2e-6)
+        # unknown endpoint -> error, not a hang
+        with pytest.raises(RuntimeError):
+            H.request_npz(host, port, "nope", [t])
+        # health
+        import http.client as hc
+
+        conn = hc.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/v1/health")
+        resp = conn.getresponse()
+        assert resp.status == 200 and b"endpoints" in resp.read()
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        engine.close()
+
+
+def test_serve_cli_smoke(tmp_path):
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path), "serve", "mnist", "--smoke",
+          "--buckets", "1", "4"])
+
+
+def test_export_cli(tmp_path):
+    import json
+    import os
+
+    from causalvae_tpu.cli.main import main
+
+    main(["--out", str(tmp_path), "export", "mnist", "--buckets", "1"])
+    exp = tmp_path / "export_mnist"
+    with open(exp / "manifest.json") as f:
+        manifest = json.load(f)
+    assert "reconstruct" in manifest["endpoints"]
+    assert all(os.path.exists(exp / info["files"]["1"])
+               for info in manifest["endpoints"].values())
