@@ -196,6 +196,36 @@ def test_http_server_roundtrip(served_model, rng):
         engine.close()
 
 
+@pytest.mark.slow
+def test_vessel_family_endpoints_tiny():
+    """The serving layer works for the vessel CausalViTVAE family too
+    (tiny geometry; the spatial model serves packed-trained checkpoints —
+    packing is an execution transform, models/vit.py)."""
+    from causalvae_tpu.models.vit import CausalViTVAE
+
+    model = CausalViTVAE(img_size=(64, 96), m_dim=5, t_dim=7, z_dim=8,
+                         vit_latent_dim=32, embed_dim=64, depth=1, heads=2,
+                         mlp_dim=64)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 96, 1))
+    m, t = jnp.zeros((1, 5)), jnp.zeros((1, 7))
+    variables = model.init({"params": key, "dropout": key}, x, m, t,
+                           rng=key, train=False)
+    eps = vae_endpoints(model, variables)
+    assert "uncertainty" in eps  # ViT mechanism head is always Gaussian
+    rng = np.random.default_rng(0)
+    xb = rng.random((2, 64, 96, 1)).astype(np.float32)
+    mb = rng.standard_normal((2, 5)).astype(np.float32)
+    tb = np.eye(7, dtype=np.float32)[[0, 3]]
+    with BatchingEngine(eps, buckets=(1, 2)) as eng:
+        recon = np.asarray(eng.infer("reconstruct", xb, mb, tb))
+        assert recon.shape == (2, 64, 96, 1) and np.isfinite(recon).all()
+        grid = np.asarray(eng.infer("do_t", xb, mb, tb))
+        assert grid.shape == (2, 7, 64, 96, 1)
+        m_mu, m_sigma = eng.infer("uncertainty", tb)
+        assert m_mu.shape == (2, 5) and (np.asarray(m_sigma) > 0).all()
+
+
 def test_serve_cli_smoke(tmp_path):
     from causalvae_tpu.cli.main import main
 
