@@ -63,6 +63,64 @@ def test_kfold_parallel_driver_runs_and_descends():
     assert all(l.shape[0] == 2 for l in leaves)
 
 
+@pytest.mark.slow
+def test_kfold_parallel_matches_sequential_trajectory():
+    """The fold x data-parallel k-fold driver must produce, per fold, the SAME
+    Adam trajectory as training that fold alone on one device (ref semantics:
+    sequential per-fold loop, vessel_analysis/01_train/train_kfold.py:181-245).
+    Replays train_kfold's exact init/batch/rng schedule fold-by-fold and
+    asserts final params equal within fp32 reduction tolerance."""
+    n, n_folds, batch_size, epochs, seed = 40, 2, 8, 2, 0
+    rng = np.random.default_rng(1)
+    data = {
+        "x": rng.random((n, 28, 28, 1)).astype(np.float32),
+        "m": rng.standard_normal((n, 12)).astype(np.float32),
+        "t": np.eye(10, dtype=np.float32)[rng.integers(0, 10, n)],
+    }
+    labels = data["t"].argmax(1)
+    model, step = _tiny_model_and_step()
+    tx = optax.adam(1e-3)
+
+    def init_one(k):
+        return model.init({"params": k}, jnp.asarray(data["x"][:2]),
+                          jnp.asarray(data["m"][:2]), jnp.asarray(data["t"][:2]),
+                          rng=k)
+
+    par_states, plan, _ = KF.train_kfold(
+        init_one=init_one, step_fn=step, eval_fn=None, tx=tx, data=data,
+        labels=labels, epochs=epochs, batch_size=batch_size,
+        n_folds=n_folds, seed=seed,
+    )
+    par_params = jax.device_get(par_states.params)
+
+    # sequential replay: identical stacked init, batch indices, rng schedule
+    stacked_vars = jax.vmap(init_one)(
+        jax.random.split(jax.random.PRNGKey(seed), n_folds))
+    batcher = KF.FoldBatcher(plan, batch_size, seed)
+    steps = batcher.steps_per_epoch()
+    idx_schedule, rng_schedule = [], []
+    key = jax.random.PRNGKey(seed)
+    for _ in range(epochs):
+        for _ in range(steps):
+            idx_schedule.append(batcher.next_indices())
+            key, sub = jax.random.split(key)
+            rng_schedule.append(jax.random.split(sub, n_folds))
+
+    jstep = jax.jit(step)
+    for f in range(n_folds):
+        vars_f = jax.tree.map(lambda a: a[f], jax.device_get(stacked_vars))
+        st = TrainState.create(vars_f, tx)
+        for idx, rngs in zip(idx_schedule, rng_schedule):
+            b = {k: jnp.asarray(v[idx[f]]) for k, v in data.items()}
+            st, _ = jstep(st, b, rngs[f])
+        for path_leaf, (seq, par) in enumerate(zip(
+                jax.tree.leaves(jax.device_get(st.params)),
+                jax.tree.leaves(par_params))):
+            np.testing.assert_allclose(
+                np.asarray(seq), np.asarray(par)[f], rtol=2e-5, atol=1e-6,
+                err_msg=f"fold {f} param leaf {path_leaf} diverged")
+
+
 def test_fold_mesh_shapes():
     mesh = KF.make_fold_mesh(2)  # 8 cpu devices % 2 == 0 -> real fold axis
     assert mesh.devices.shape == (2, 4)
