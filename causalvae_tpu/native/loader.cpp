@@ -61,8 +61,135 @@ T rd(const uint8_t* p, bool le) {
   return v;
 }
 
-// Minimal TIFF: uncompressed, single image (first IFD), strips, grayscale,
-// 8/16-bit unsigned or 32-bit float. Enough for *.vessel.mip.tiff exports.
+// TIFF LZW strip decode (compression tag 5, TIFF 6.0 spec section 13):
+// MSB-first bit packing, ClearCode 256 / EOI 257, 9->12 bit codes with the
+// TIFF "early change" (width bumps when the NEXT free code hits 2^bits - 1).
+// Real *.vessel.mip.tiff exports are frequently LZW-compressed (the
+// reference reads them via tifffile, ref 00_core/dataset.py:228-237); this
+// keeps them readable where tifffile/PIL are absent.
+bool lzw_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                size_t expected) {
+  struct Entry {
+    int16_t prev;
+    uint8_t ch;
+    uint16_t len;
+  };
+  std::vector<Entry> table(4096);
+  for (int i = 0; i < 256; ++i) table[i] = {-1, static_cast<uint8_t>(i), 1};
+  int next = 258, bits = 9;
+  uint32_t window = 0;
+  int avail = 0;
+  size_t pos = 0;
+  auto get = [&]() -> int {
+    while (avail < bits) {
+      if (pos >= n) return 257;  // bitstream exhausted == EOI
+      window = (window << 8) | src[pos++];
+      avail += 8;
+    }
+    avail -= bits;
+    return (window >> avail) & ((1u << bits) - 1);
+  };
+  auto emit = [&](int code) {  // append code's string; returns its first char
+    size_t start = out.size();
+    out.resize(start + table[code].len);
+    size_t i = out.size();
+    for (int c = code; c >= 0; c = table[c].prev) out[--i] = table[c].ch;
+    return out[start];
+  };
+  out.reserve(expected);
+  int old = -1;
+  for (;;) {
+    int code = get();
+    if (code == 257) break;
+    if (code == 256) {
+      next = 258;
+      bits = 9;
+      old = -1;
+      continue;
+    }
+    if (old < 0) {
+      if (code > 255) return false;
+      emit(code);
+    } else {
+      uint8_t first;
+      if (code < next) {
+        first = emit(code);
+      } else if (code == next) {  // KwKwK case
+        size_t start = out.size();
+        first = emit(old);
+        out.push_back(out[start]);
+      } else {
+        return false;
+      }
+      if (next < 4096) {
+        table[next] = {static_cast<int16_t>(old), first,
+                       static_cast<uint16_t>(table[old].len + 1)};
+        ++next;
+      }
+      if (next == (1 << bits) - 1 && bits < 12) ++bits;  // early change
+    }
+    old = code;
+    if (out.size() >= expected) break;
+  }
+  return out.size() >= expected;
+}
+
+// PackBits (compression tag 32773, TIFF 6.0 spec section 9).
+bool packbits_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                     size_t expected) {
+  size_t i = 0;
+  out.reserve(expected);
+  while (i < n && out.size() < expected) {
+    int8_t h = static_cast<int8_t>(src[i++]);
+    if (h >= 0) {
+      size_t cnt = static_cast<size_t>(h) + 1;
+      if (i + cnt > n) return false;
+      out.insert(out.end(), src + i, src + i + cnt);
+      i += cnt;
+    } else if (h != -128) {
+      if (i >= n) return false;
+      size_t cnt = static_cast<size_t>(1 - static_cast<int>(h));
+      out.insert(out.end(), cnt, src[i++]);
+    }
+  }
+  return out.size() >= expected;
+}
+
+// Horizontal-differencing predictor undo (tag 317 == 2), per row per sample;
+// modular accumulate in the sample's own width, preserving byte order.
+bool predictor2_undo(std::vector<uint8_t>& buf, size_t rows, size_t width,
+                     size_t bits, bool le) {
+  if (bits == 8) {
+    for (size_t y = 0; y < rows; ++y) {
+      uint8_t* row = &buf[y * width];
+      for (size_t x = 1; x < width; ++x) row[x] += row[x - 1];
+    }
+    return true;
+  }
+  if (bits == 16) {
+    for (size_t y = 0; y < rows; ++y) {
+      uint8_t* row = &buf[y * width * 2];
+      uint16_t prev = rd<uint16_t>(row, le);
+      for (size_t x = 1; x < width; ++x) {
+        uint16_t v = static_cast<uint16_t>(rd<uint16_t>(row + 2 * x, le) + prev);
+        if (le) {
+          row[2 * x] = v & 0xFF;
+          row[2 * x + 1] = v >> 8;
+        } else {
+          row[2 * x] = v >> 8;
+          row[2 * x + 1] = v & 0xFF;
+        }
+        prev = v;
+      }
+    }
+    return true;
+  }
+  return false;  // float predictor (3) not supported
+}
+
+// Minimal TIFF: single image (first IFD), strips, grayscale, 8/16-bit
+// unsigned or 32-bit float; compression none/LZW/PackBits + predictor 2.
+// Enough for *.vessel.mip.tiff exports (incl. LZW-compressed ones).
 Image decode_tiff(const std::vector<uint8_t>& b) {
   Image im;
   if (b.size() < 8) return im;
@@ -73,6 +200,7 @@ Image decode_tiff(const std::vector<uint8_t>& b) {
   if (ifd + 2 > b.size()) return im;
   uint16_t n_entries = rd<uint16_t>(&b[ifd], le);
   uint32_t width = 0, height = 0, bits = 8, compression = 1, sampleformat = 1;
+  uint32_t predictor = 1;
   std::vector<uint64_t> strip_offsets, strip_counts;
   uint32_t rows_per_strip = 0xFFFFFFFF;
 
@@ -107,25 +235,54 @@ Image decode_tiff(const std::vector<uint8_t>& b) {
       case 273: read_values(type, count, entry, strip_offsets); break;
       case 278: read_values(type, 1, entry, vals); if (!vals.empty()) rows_per_strip = vals[0]; break;
       case 279: read_values(type, count, entry, strip_counts); break;
+      case 317: read_values(type, 1, entry, vals); if (!vals.empty()) predictor = vals[0]; break;
       case 339: read_values(type, 1, entry, vals); if (!vals.empty()) sampleformat = vals[0]; break;
       default: break;
     }
   }
-  if (compression != 1 || width == 0 || height == 0 || strip_offsets.empty())
-    return im;
+  if (width == 0 || height == 0 || strip_offsets.empty()) return im;
+  if (compression != 1 && compression != 5 && compression != 32773) return im;
+  if (predictor != 1 && predictor != 2) return im;
   size_t bytes_per = bits / 8;
+  size_t rps = (rows_per_strip == 0xFFFFFFFF || rows_per_strip == 0)
+                   ? height : rows_per_strip;
   im.h = height; im.w = width;
   im.px.resize(static_cast<size_t>(height) * width);
   size_t pixel = 0;
+  std::vector<uint8_t> buf;
   for (size_t s = 0; s < strip_offsets.size() && pixel < im.px.size(); ++s) {
     uint64_t off = strip_offsets[s];
     uint64_t cnt = s < strip_counts.size()
                        ? strip_counts[s]
-                       : static_cast<uint64_t>(rows_per_strip) * width * bytes_per;
+                       : static_cast<uint64_t>(rps) * width * bytes_per;
     if (off + cnt > b.size()) return im;
-    size_t n_px = cnt / bytes_per;
+    size_t rows_this = rps;
+    if (s * rps + rows_this > height) rows_this = height - s * rps;
+    size_t expected = rows_this * width * bytes_per;
+    const uint8_t* data;
+    if (compression == 1) {
+      if (cnt < expected) expected = cnt;  // tolerate short final raw strip
+      data = &b[off];
+      if (predictor == 2) {  // predictor needs a mutable copy
+        buf.assign(&b[off], &b[off] + expected);
+        data = buf.data();
+      }
+    } else {
+      buf.clear();
+      bool ok = compression == 5
+                    ? lzw_decode(&b[off], cnt, buf, expected)
+                    : packbits_decode(&b[off], cnt, buf, expected);
+      if (!ok) return im;
+      data = buf.data();
+    }
+    if (predictor == 2) {
+      if (buf.size() < rows_this * width * bytes_per ||
+          !predictor2_undo(buf, rows_this, width, bits, le))
+        return im;
+    }
+    size_t n_px = expected / bytes_per;
     for (size_t i = 0; i < n_px && pixel < im.px.size(); ++i, ++pixel) {
-      const uint8_t* p = &b[off + i * bytes_per];
+      const uint8_t* p = data + i * bytes_per;
       if (bits == 8) im.px[pixel] = p[0];
       else if (bits == 16) im.px[pixel] = rd<uint16_t>(p, le);
       else if (bits == 32 && sampleformat == 3) {

@@ -118,3 +118,49 @@ def test_native_loader_feeds_vessel_batches(tmp_path):
         np.asarray(b_native["x"]), np.asarray(b_python["x"]), atol=2e-2
     )
     np.testing.assert_array_equal(np.asarray(b_native["m"]), np.asarray(b_python["m"]))
+
+
+def test_lzw_compressed_corpus_feeds_vessel_batches(tmp_path):
+    """Real exports are frequently LZW-compressed (tifffile default in the
+    reference's environment, ref 00_core/dataset.py:228-237): a 16-bit
+    LZW+predictor-2 corpus must flow through BOTH the native C++ loader and
+    the python (PIL) decode path with matching pixels."""
+    from causalvae_tpu import native
+    from causalvae_tpu.data.vessel import iterate_batches, scan_corpus
+    from tests.test_native import _lzw_encode, _write_tiff_ext
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(9)
+    rows, img_id = [], 600000
+    for g_i, g in enumerate(("PBS", "DrugA", "DrugB")):
+        for _ in range(6):
+            img_id += 1
+            arr = ((rng.random((96, 160)) > 0.85) * rng.integers(
+                2000, 60000)).astype(np.uint16)
+            diff = arr.copy()
+            diff[:, 1:] = arr[:, 1:] - arr[:, :-1]
+            _write_tiff_ext(
+                str(tmp_path / f"H11-{img_id}.vessel.mip.tiff"),
+                [_lzw_encode(diff.astype("<u2").tobytes())], 160, 96,
+                bits=16, compression=5, predictor=2)
+            feats = rng.uniform(1.0, 100.0, len(FEATURE_COLUMNS)) + 10.0 * g_i
+            rows.append((img_id, g, feats))
+    header = "Image ID,group_name," + ",".join(
+        f'"{c}"' if "," in c else c for c in FEATURE_COLUMNS)
+    lines = [header] + [
+        f"{i},{g}," + ",".join(f"{v:.4f}" for v in feats)
+        for i, g, feats in rows]
+    csv = tmp_path / "vessel_meta.csv"
+    csv.write_text("\n".join(lines) + "\n")
+
+    corpus = scan_corpus(str(csv), str(tmp_path))
+    assert len(corpus.paths) == 18
+    b_native = next(iterate_batches(corpus, "train", 4, (64, 96),
+                                    shuffle_seed=0, use_native=True))
+    b_python = next(iterate_batches(corpus, "train", 4, (64, 96),
+                                    shuffle_seed=0, use_native=False))
+    assert b_native["x"].shape == (4, 64, 96, 1)
+    np.testing.assert_allclose(
+        np.asarray(b_native["x"]), np.asarray(b_python["x"]), atol=2e-2)
