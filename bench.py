@@ -13,10 +13,15 @@ has no TPU backend, so this is the honest "what the reference stack delivers
 on this machine" number (recorded in the JSON as ``baseline_hw``).
 BASELINE.json's north-star target is >10x images/sec/chip.
 
-Also measures the FLAGSHIP workload — the vessel CausalViTVAE full train step
-at the reference's production config (768x1280, batch 8; ref
-vessel_analysis/00_core/config.py:9-23) — in f32 and bf16, with XLA cost
-analysis for FLOPs/bytes per step -> MFU and %-of-HBM-roofline on a v5e chip.
+Also measures:
+- the FLAGSHIP workload — the vessel CausalViTVAE full train step at the
+  reference's production config (768x1280, batch 8; ref
+  vessel_analysis/00_core/config.py:9-23) — in f32 and bf16, with XLA cost
+  analysis for FLOPs/bytes per step -> MFU and %-of-HBM-roofline on a v5e chip;
+- PARITY: optimizer-trajectory loss deltas vs the actual torch reference
+  train loops (BASELINE metric #1, train/parity.py);
+- SERVING: client-visible latency/throughput through the dynamic-batching
+  engine and AOT artifacts, MNIST family + the 768x1280 flagship family.
 
 Output protocol (timeout-proof): emits a COMPLETE JSON line as soon as the
 headline number exists, then re-emits progressively richer lines (same object,
@@ -45,8 +50,14 @@ TORCH_RUNS = 3  # median-of-k: single torch-cpu runs vary ~2x on a loaded host
 FLAGSHIP_BATCH = 8
 FLAGSHIP_HW = (768, 1280)
 FLAGSHIP_STEPS = 10
-# TPU v5e single chip: peak dense matmul throughput and HBM bandwidth
-V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 49e12}
+# TPU v5e single chip: peak dense matmul throughput and HBM bandwidth.
+# Under jax's DEFAULT matmul precision the MXU executes single bf16 passes
+# for BOTH bf16 and f32 operands (f32 arrays are rounded to bf16 inputs with
+# f32 accumulation), so MFU is normalized against the bf16 peak for both
+# dtype runs. Round 3 normalized the f32 run against the 49 TF/s fp32-pass
+# peak, which produced a physically impossible MFU of 1.41 (ADVICE r3) —
+# that peak only applies under jax.default_matmul_precision('highest').
+V5E_PEAK_FLOPS = 197e12  # bf16-pass MXU peak
 V5E_HBM_BW = 819e9  # bytes/sec
 # XLA cost analysis of the SPATIAL (packed=False) formulation of the same
 # step — the dense-equivalent "useful" flops (phase-packed kernels carry
@@ -121,8 +132,10 @@ def bench_flagship(dtype_name: str) -> dict:
         "xla_flops_per_step": flops,
         "logical_flops_per_step": FLAGSHIP_LOGICAL_FLOPS,
         "bytes_per_step": bytes_acc,
-        "mfu_xla_counted": round(flops / dt / V5E_PEAK_FLOPS[dtype_name], 4),
-        "mfu_logical": round(FLAGSHIP_LOGICAL_FLOPS / dt / V5E_PEAK_FLOPS[dtype_name], 4),
+        "matmul_pass": "bf16 (jax default matmul precision; f32 arrays run "
+                       "as bf16 passes with f32 accumulation on the MXU)",
+        "mfu_xla_counted": round(flops / dt / V5E_PEAK_FLOPS, 4),
+        "mfu_logical": round(FLAGSHIP_LOGICAL_FLOPS / dt / V5E_PEAK_FLOPS, 4),
         "hbm_roofline_frac": round(bytes_acc / dt / V5E_HBM_BW, 4),
     }
 
@@ -191,6 +204,219 @@ def bench_counterfactual() -> dict:
         "images_per_sec": round(n_src * n_tgt / dt, 1),
         "timing": f"device-side: {reps} grids scanned in one program",
     }
+
+
+def bench_parity(include_vessel: bool = True) -> dict:
+    """Optimizer-trajectory ELBO parity vs the torch reference loop
+    (BASELINE.json metric #1): reference models built in torch exactly as the
+    reference does, init ported into flax, IDENTICAL injected reparam noise,
+    reference train loop vs the fused jitted step — per-step total-loss
+    relative deltas (train/parity.py; jax side runs on this chip in f32
+    'highest' matmul precision, torch side on the host CPU)."""
+    from causalvae_tpu.train.parity import run_mnist_parity, run_vessel_parity
+
+    def summarize(r, tol):
+        return {
+            "ref": r["ref"],
+            "n_steps": r["n_steps"],
+            "rel_delta_max": r["rel_delta_max"],
+            "rel_delta_median": r["rel_delta_median"],
+            "rel_delta_final": r["rel_delta_final"],
+            "tolerance": tol,
+            "pass": bool(r["rel_delta_max"] < tol),
+            "torch_loss_first_last": r["torch_loss_first_last"],
+            "jax_loss_first_last": r["jax_loss_first_last"],
+        }
+
+    out = {"mnist_adversarial_c1": summarize(
+        run_mnist_parity(steps=12, batch=32), 2e-4)}
+    if include_vessel:
+        out["vessel_cnn_c7_128x256"] = summarize(
+            run_vessel_parity(steps=8, batch=2, hw=(128, 256)), 5e-3)
+    return out
+
+
+def _percentiles_ms(samples):
+    import numpy as np
+
+    a = np.sort(np.asarray(samples)) * 1e3
+    return {"p50_ms": round(float(np.percentile(a, 50)), 2),
+            "p99_ms": round(float(np.percentile(a, 99)), 2)}
+
+
+def bench_serving() -> dict:
+    """Client-visible serving numbers on the MNIST family (VERDICT r3 demand
+    #2 / weak #6): batch-1 p50/p99 through the dynamic-batching engine,
+    coalesced throughput under 64 concurrent clients, the full client-visible
+    do(T) grid (128 sources x 10 targets through one engine call, host
+    round-trip included — the device-side number is the ``counterfactual``
+    block), and AOT-exported-artifact latency vs live jit."""
+    import threading
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from causalvae_tpu.config import MnistConfig
+    from causalvae_tpu.models.vae import CausalConvVAE
+    from causalvae_tpu.serve.endpoints import endpoint_arg_specs, vae_endpoints
+    from causalvae_tpu.serve.engine import BatchingEngine
+
+    cfg = MnistConfig()
+    model = CausalConvVAE(m_dim=cfg.m_dim, t_dim=cfg.t_dim, z_dim=cfg.z_dim,
+                          gaussian_mechanism=True, decode_real_m=True)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    variables = model.init({"params": key}, jnp.zeros((1, 28, 28, 1)),
+                           jnp.zeros((1, cfg.m_dim)), jnp.zeros((1, cfg.t_dim)),
+                           rng=key)
+    eps = vae_endpoints(model, variables)
+
+    def batch(n):
+        return (rng.random((n, 28, 28, 1)).astype(np.float32),
+                rng.standard_normal((n, cfg.m_dim)).astype(np.float32),
+                np.eye(cfg.t_dim, dtype=np.float32)[
+                    rng.integers(0, cfg.t_dim, n)])
+
+    out = {"family": "mnist_causal_vae"}
+    with BatchingEngine(eps, buckets=(1, 8, 64, 128),
+                        max_delay_s=0.002) as eng:
+        lat = {}
+        for name, args in (("reconstruct", batch(1)), ("do_t", batch(1)),
+                           ("predict_m", (np.eye(cfg.t_dim,
+                                                 dtype=np.float32)[:1],))):
+            eng.infer(name, *args)  # compile/warm the b1 bucket
+            samples = []
+            for _ in range(30):
+                t0 = time.perf_counter()
+                eng.infer(name, *args)
+                samples.append(time.perf_counter() - t0)
+            lat[name] = _percentiles_ms(samples)
+        out["single_request"] = lat
+
+        # client-visible full counterfactual grid: one request, 128 sources
+        args = batch(128)
+        eng.infer("do_t", *args)  # warm the 128 bucket
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            grid = eng.infer("do_t", *args)
+        dt = (time.perf_counter() - t0) / reps
+        out["do_t_grid_128x10_client_visible"] = {
+            "ms_per_grid": round(dt * 1e3, 2),
+            "images_per_sec": round(128 * 10 / dt, 1),
+            "timing": "engine.infer round-trip incl. host dispatch + fetch "
+                      "of the (128,10,28,28,1) grid",
+        }
+
+        # coalesced throughput: 64 concurrent batch-1 clients
+        for b in (8, 64):
+            eng.infer("reconstruct", *batch(b))  # warm coalesced buckets
+        per_client, n_clients = 8, 64
+        launches0, rows0 = eng.stats["launches"], eng.stats["rows"]
+
+        def client(i):
+            a = batch(1)
+            for _ in range(per_client):
+                eng.infer("reconstruct", *a)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        total = n_clients * per_client
+        out["concurrent_64_clients"] = {
+            "requests": total,
+            "requests_per_sec": round(total / dt, 1),
+            "device_launches": eng.stats["launches"] - launches0,
+            "mean_rows_per_launch": round(
+                (eng.stats["rows"] - rows0)
+                / max(eng.stats["launches"] - launches0, 1), 2),
+        }
+
+    # AOT artifact vs live jit (batch-1 reconstruct)
+    import tempfile
+
+    from causalvae_tpu.serve.export import export_endpoints, load_exported
+
+    with tempfile.TemporaryDirectory() as d:
+        export_endpoints({"reconstruct": eps["reconstruct"]},
+                         endpoint_arg_specs(model), d, buckets=(1,))
+        bundle = load_exported(d)
+        args = batch(1)
+        bundle.call("reconstruct", *args)
+        samples = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            bundle.call("reconstruct", *args)
+            samples.append(time.perf_counter() - t0)
+        out["aot_single_request"] = _percentiles_ms(samples)
+    return out
+
+
+def bench_serving_flagship() -> dict:
+    """Flagship-family serving on hardware: 768x1280 CausalViTVAE (bf16)
+    reconstruct/do_t batch-1 through the BatchingEngine and reconstruct
+    through an AOT ExportedBundle (ref workload it replaces:
+    vessel_analysis/04_generate_counterfactual/generate_counterfactual.py:85-108)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from causalvae_tpu.config import VesselConfig
+    from causalvae_tpu.models.vit import CausalViTVAE
+    from causalvae_tpu.serve.endpoints import endpoint_arg_specs, vae_endpoints
+    from causalvae_tpu.serve.engine import BatchingEngine
+
+    cfg = VesselConfig()
+    model = CausalViTVAE(img_size=FLAGSHIP_HW, m_dim=12, t_dim=19,
+                         z_dim=cfg.z_dim, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x1 = jnp.zeros((1, *FLAGSHIP_HW, 1))
+    variables = model.init({"params": key, "dropout": key}, x1,
+                           jnp.zeros((1, 12)), jnp.zeros((1, 19)),
+                           rng=key, train=False)
+    eps = vae_endpoints(model, variables)
+    x = rng.random((1, *FLAGSHIP_HW, 1)).astype(np.float32)
+    m = rng.standard_normal((1, 12)).astype(np.float32)
+    t = np.eye(19, dtype=np.float32)[:1]
+
+    out = {"family": "vessel_causal_vit_vae_768x1280_bf16"}
+    with BatchingEngine(eps, buckets=(1,), max_delay_s=0.002) as eng:
+        for name, reps in (("reconstruct", 15), ("do_t", 5)):
+            eng.infer(name, x, m, t)  # compile/warm
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                eng.infer(name, x, m, t)
+                samples.append(time.perf_counter() - t0)
+            out[name] = _percentiles_ms(samples)
+    out["do_t"]["note"] = ("client-visible incl. fetch of the full "
+                           "(1,19,768,1280,1) counterfactual grid")
+
+    import tempfile
+
+    from causalvae_tpu.serve.export import export_endpoints, load_exported
+
+    with tempfile.TemporaryDirectory() as d:
+        export_endpoints({"reconstruct": eps["reconstruct"]},
+                         endpoint_arg_specs(model), d, buckets=(1,))
+        bundle = load_exported(d)
+        bundle.call("reconstruct", x, m, t)
+        samples = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            bundle.call("reconstruct", x, m, t)
+            samples.append(time.perf_counter() - t0)
+        out["aot_reconstruct"] = _percentiles_ms(samples)
+    return out
 
 
 def bench_jax() -> float:
@@ -372,22 +598,33 @@ def main():
 
     flagship: dict = {"workload": "vessel_causal_vit_vae_768x1280_batch8_train_step"}
     result["flagship"] = flagship
-    # bf16 first (the production dtype / headline flagship number); f32 only
-    # with remaining budget. A cold 768x1280 compile is ~15 min through the
-    # remote tunnel; warm (persistent cache, committed kernels) is ~1 min.
-    for dtype_name, reserve_s in (("bfloat16", 120.0), ("float32", 240.0)):
+
+    def run_stage(store, key_name, fn, reserve_s):
+        """Budget-gated stage; never lets one stage kill the headline line.
+        Reserves assume a warm .jax_cache (all programs are pre-compiled by
+        the in-repo evidence runs); cold compiles can eat the whole budget,
+        which the emit-superset protocol tolerates."""
         remaining = budget - (time.time() - t_start)
         if remaining < reserve_s:
-            flagship[dtype_name] = {
+            store[key_name] = {
                 "skipped": f"budget: {remaining:.0f}s left < {reserve_s:.0f}s reserve"
             }
-            emit()
-            continue
-        try:
-            flagship[dtype_name] = bench_flagship(dtype_name)
-        except Exception as e:  # never let the flagship kill the headline line
-            flagship[dtype_name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        else:
+            try:
+                store[key_name] = fn()
+            except Exception as e:
+                store[key_name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         emit()
+
+    # stage order = evidence priority: trajectory parity (BASELINE metric #1),
+    # then both flagship train dtypes back-to-back (comparable device/tunnel
+    # state — an r4 run that measured f32 last, after a failed serving stage,
+    # recorded 150.9 ms vs its steady-state ~55 ms), then serving.
+    run_stage(result, "parity", bench_parity, 240.0)
+    run_stage(flagship, "bfloat16", lambda: bench_flagship("bfloat16"), 120.0)
+    run_stage(flagship, "float32", lambda: bench_flagship("float32"), 180.0)
+    run_stage(result, "serving", bench_serving, 180.0)
+    run_stage(result, "serving_flagship", bench_serving_flagship, 240.0)
 
 
 if __name__ == "__main__":

@@ -15,21 +15,24 @@ This package is that service layer, TPU-first:
                   at serving time), padded, executed in one device launch and
                   split back per caller.
 - ``export``      ahead-of-time deployment artifacts via ``jax.export``:
-                  endpoints serialize to StableHLO with the parameters baked
-                  in, so a serving host loads and calls them without model
-                  code, flax, or a tracer in sight.
+                  endpoints serialize to small StableHLO programs plus ONE
+                  shared weights blob (weights are runtime arguments, never
+                  inlined constants), so a serving host loads and calls them
+                  without model code, flax, or a tracer in sight.
 - ``http``        a dependency-free HTTP front-end (stdlib ``http.server``)
                   speaking ``.npz`` request/response bodies, driving the
                   batching engine from any number of client threads.
 """
 
-from causalvae_tpu.serve.endpoints import ensemble_endpoints, vae_endpoints
+from causalvae_tpu.serve.endpoints import (BoundEndpoint, ensemble_endpoints,
+                                           vae_endpoints)
 from causalvae_tpu.serve.engine import BatchingEngine
 from causalvae_tpu.serve.export import export_endpoints, load_exported
 
 __all__ = [
     "vae_endpoints",
     "ensemble_endpoints",
+    "BoundEndpoint",
     "BatchingEngine",
     "export_endpoints",
     "load_exported",

@@ -1,9 +1,11 @@
 """Pure inference endpoints for serving a trained causal VAE.
 
-Each endpoint is a closed-over-parameters function ``arrays -> arrays`` with
-the batch on axis 0 of every argument, so it is directly jittable, AOT
-exportable (serve/export.py) and batchable by the dynamic-batching engine
-(serve/engine.py). The endpoints cover the model entry points the reference's
+Each endpoint is a ``BoundEndpoint``: a pure function ``(params, *arrays) ->
+arrays`` (batch on axis 0 of every array argument) bundled with the params
+pytree it serves. Callers use it like a plain callable; the engine
+(serve/engine.py) and exporter (serve/export.py) unbundle it so compiled
+programs take the weights as runtime arguments instead of inlined constants
+— see ``BoundEndpoint`` for why that matters at flagship scale. The endpoints cover the model entry points the reference's
 analysis/counterfactual scripts invoke by hand:
 
 - encode / decode / reconstruct    (ref vessel_analysis/04_generate_counterfactual/
@@ -33,6 +35,35 @@ from causalvae_tpu.scm import intervene as I
 Endpoint = Callable[..., object]
 
 
+class BoundEndpoint:
+    """An endpoint as ``fn(params, *arrays)`` plus the params pytree it is
+    bound to — kept SEPARATE so that when the engine / exporter jits ``fn``,
+    the weights enter the compiled program as runtime arguments (resident in
+    HBM), not as inlined HLO constants.
+
+    Closing the weights over a jitted function inlines them into the StableHLO
+    module; for the 768x1280 CausalViTVAE that is >100 MB of program text,
+    which (a) bloats every AOT artifact by the full weight size per endpoint
+    per bucket and (b) overflows program-size limits (the remote-compile
+    tunnel rejects it outright with HTTP 413). Weights-as-arguments is also
+    the correct deployment split: one params blob, many small programs.
+
+    Instances are directly callable (``ep(*arrays)``) so ad-hoc/eager use and
+    everything downstream of ``vae_endpoints`` keeps the plain-callable
+    contract.
+    """
+
+    __slots__ = ("fn", "params", "doc")
+
+    def __init__(self, fn: Callable, params, doc: Optional[str] = None):
+        self.fn = fn
+        self.params = params
+        self.doc = doc if doc is not None else fn.__doc__
+
+    def __call__(self, *args):
+        return self.fn(self.params, *args)
+
+
 def vae_endpoints(
     model,
     variables,
@@ -52,55 +83,55 @@ def vae_endpoints(
         t_targets = jnp.eye(t_dim, dtype=jnp.float32)
     t_targets = jnp.asarray(t_targets)
 
-    def encode(x, m, t):
+    def encode(v, x, m, t):
         """(mu, logvar) of q(z | x, m, t)."""
-        return model.apply(variables, x, m, t, method=model.encode)
+        return model.apply(v, x, m, t, method=model.encode)
 
-    def decode(m, z):
+    def decode(v, m, z):
         """x' = decode(m, z)."""
-        return model.apply(variables, m, z, method=model.decode)
+        return model.apply(v, m, z, method=model.decode)
 
-    def predict_m(t):
+    def predict_m(v, t):
         """Mechanism mean M' = f(T)."""
-        return model.apply(variables, t, method=model.predict_m)
+        return model.apply(v, t, method=model.predict_m)
 
-    def reconstruct(x, m, t):
+    def reconstruct(v, x, m, t):
         """Mean-abducted reconstruction: decode(m, E[z | x, m, t])."""
-        mu, _ = encode(x, m, t)
-        return decode(m, mu)
+        mu, _ = encode(v, x, m, t)
+        return decode(v, m, mu)
 
-    def do_t(x, m, t):
+    def do_t(v, x, m, t):
         """Counterfactual grid: (B, n_targets, *image) — abduct each source's
         z, then decode under every target treatment's mechanism output."""
-        return I.do_t_grid(model, variables, x, m, t, t_targets)
+        return I.do_t_grid(model, v, x, m, t, t_targets)
 
     eps: Dict[str, Endpoint] = {
-        "encode": encode,
-        "decode": decode,
-        "predict_m": predict_m,
-        "reconstruct": reconstruct,
-        "do_t": do_t,
+        name: BoundEndpoint(fn, variables)
+        for name, fn in (("encode", encode), ("decode", decode),
+                         ("predict_m", predict_m),
+                         ("reconstruct", reconstruct), ("do_t", do_t))
     }
 
     # Gaussian mechanism head (Bayesian variants): aleatoric sigma per (T, F).
     # Probed structurally (flax setup attrs are invisible on unbound modules,
     # and CausalConvVAE's mechanism is gaussian only when configured so).
-    def _morph_raw(t):
-        return model.apply(variables, t, method=lambda mdl, t_: mdl.morph(t_))
+    def _morph_raw(v, t):
+        return model.apply(v, t, method=lambda mdl, t_: mdl.morph(t_))
 
     if getattr(model, "gaussian_mechanism", True):
         try:
-            out = jax.eval_shape(_morph_raw, jnp.zeros((1, t_targets.shape[-1])))
+            out = jax.eval_shape(_morph_raw, variables,
+                                 jnp.zeros((1, t_targets.shape[-1])))
             gaussian = isinstance(out, tuple) and len(out) == 2
         except Exception:
             gaussian = False
         if gaussian:
-            def uncertainty(t):
+            def uncertainty(v, t):
                 """(m_mu, m_sigma) of P(M | T)."""
-                m_mu, m_logvar = _morph_raw(t)
+                m_mu, m_logvar = _morph_raw(v, t)
                 return m_mu, jnp.exp(0.5 * jnp.clip(m_logvar, -10.0, 10.0))
 
-            eps["uncertainty"] = uncertainty
+            eps["uncertainty"] = BoundEndpoint(uncertainty, variables)
     return eps
 
 
@@ -112,16 +143,18 @@ def ensemble_endpoints(model, stacked_variables) -> Dict[str, Endpoint]:
     online (ref ensemble_reconstruction.py:54-92, kfold_pairwise.py:80-127).
     """
 
-    def decode(m, z):
-        return E.ensemble_decode(model, stacked_variables, m, z)
+    def decode(v, m, z):
+        return E.ensemble_decode(model, v, m, z)
 
-    def predict_m(t):
-        return E.ensemble_predict_m(model, stacked_variables, t)
+    def predict_m(v, t):
+        return E.ensemble_predict_m(model, v, t)
 
-    def uncertainty(t):
-        return E.ensemble_morph_distribution(model, stacked_variables, t)
+    def uncertainty(v, t):
+        return E.ensemble_morph_distribution(model, v, t)
 
-    return {"decode": decode, "predict_m": predict_m, "uncertainty": uncertainty}
+    return {name: BoundEndpoint(fn, stacked_variables)
+            for name, fn in (("decode", decode), ("predict_m", predict_m),
+                             ("uncertainty", uncertainty))}
 
 
 def endpoint_arg_specs(

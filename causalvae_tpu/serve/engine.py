@@ -81,7 +81,7 @@ class BatchingEngine:
             raise ValueError(f"buckets must be positive, got {buckets}")
         self._max_delay_s = float(max_delay_s)
         self._jitted: Dict[str, Callable] = {
-            name: (jax.jit(fn) if jit else fn)
+            name: (self._compile(fn) if jit else fn)
             for name, fn in self._endpoints.items()
         }
         self._q: "queue.Queue[_Request | None]" = queue.Queue()
@@ -91,6 +91,25 @@ class BatchingEngine:
             target=self._run, name="causalvae-serve-worker", daemon=True
         )
         self._worker.start()
+
+    @staticmethod
+    def _compile(fn) -> Callable:
+        """jit an endpoint. A ``BoundEndpoint`` (serve/endpoints.py) is split:
+        its params pytree is device_put once and passed to the jitted function
+        per launch, so the compiled program's weights are HBM-resident runtime
+        arguments — never HLO constants (a closed-over flagship model inlines
+        >100 MB of weight literals into the program)."""
+        params = getattr(fn, "params", None)
+        inner = getattr(fn, "fn", None)
+        if params is None or inner is None:
+            return jax.jit(fn)
+        params = jax.device_put(params)
+        jitted = jax.jit(inner)
+
+        def launch(*args):
+            return jitted(params, *args)
+
+        return launch
 
     # -- client API ---------------------------------------------------------
     @property

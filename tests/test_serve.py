@@ -209,6 +209,56 @@ def test_export_roundtrip(served_model, rng, tmp_path):
             rtol=2e-5, atol=2e-6)
 
 
+def test_export_weights_are_runtime_args_not_constants(served_model, rng,
+                                                       tmp_path):
+    """Program/weights split: the exported StableHLO must take the weights as
+    runtime arguments (one shared params blob per bundle), never as inlined
+    constants — a flagship-sized model inlined >100 MB of literals per
+    artifact and overflowed program-size limits at compile time."""
+    import os
+
+    from causalvae_tpu.serve.export import export_endpoints, load_exported
+
+    model, variables, cfg = served_model
+    eps = vae_endpoints(model, variables)
+    out = str(tmp_path / "export")
+    manifest = export_endpoints(
+        {k: eps[k] for k in ("reconstruct", "predict_m")},
+        endpoint_arg_specs(model), out, buckets=(1,))
+    ents = manifest["endpoints"]
+    # one weights blob, shared by every endpoint bound to the same params
+    assert ents["reconstruct"]["params_file"] == ents["predict_m"]["params_file"]
+    param_bytes = sum(np.asarray(l).nbytes for l in jax.tree.leaves(variables))
+    blob = os.path.getsize(os.path.join(out, ents["reconstruct"]["params_file"]))
+    assert blob >= param_bytes  # the blob really carries the weights
+    prog = os.path.getsize(os.path.join(out, ents["reconstruct"]["files"]["1"]))
+    assert prog < 0.25 * param_bytes, (
+        f"program is {prog}B vs {param_bytes}B of params — weights look inlined")
+    # and the runtime-args path computes the same thing
+    bundle = load_exported(out)
+    x, m, t = _batch(rng, cfg, 1)
+    np.testing.assert_allclose(
+        np.asarray(bundle.call("reconstruct", x, m, t)),
+        np.asarray(eps["reconstruct"](x, m, t)), rtol=2e-5, atol=2e-6)
+
+
+def test_export_bf16_params_roundtrip(tmp_path):
+    """bfloat16 weight leaves survive the npz blob (bit-cast to uint16 on
+    disk — the npy format has no extended dtypes)."""
+    from causalvae_tpu.serve.endpoints import BoundEndpoint
+    from causalvae_tpu.serve.export import export_endpoints, load_exported
+
+    w = (jnp.arange(8, dtype=jnp.float32).reshape(2, 4) / 7.0).astype(jnp.bfloat16)
+    ep = BoundEndpoint(lambda p, x: x @ p["w"].astype(jnp.float32), {"w": w})
+    manifest = export_endpoints({"f": ep}, {"f": ((2,),)}, str(tmp_path),
+                                buckets=(1, 3))
+    assert manifest["endpoints"]["f"]["params_dtypes"] == ["bfloat16"]
+    bundle = load_exported(str(tmp_path))
+    x = np.ones((1, 2), np.float32)
+    np.testing.assert_allclose(np.asarray(bundle.call("f", x)),
+                               np.asarray(ep(x)), rtol=1e-6)
+
+
 def test_http_server_roundtrip(served_model, rng):
     from causalvae_tpu.serve import http as H
 
