@@ -26,7 +26,7 @@ _build_error: Optional[str] = None
 def _build() -> Optional[str]:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", _SRC, "-o", _SO,
+        "-pthread", _SRC, "-o", _SO, "-lz",
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=180)

@@ -25,6 +25,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -134,6 +136,27 @@ bool lzw_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
   return out.size() >= expected;
 }
 
+// Deflate strip decode (compression tag 8 "Adobe deflate" / 32946 legacy —
+// both are raw zlib streams per strip, TIFF TechNote 2). The reference's
+// tifffile path (ref 00_core/dataset.py:228-237) reads these transparently.
+bool zip_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                size_t expected) {
+  out.resize(expected);
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  zs.next_out = out.data();
+  zs.avail_out = static_cast<uInt>(expected);
+  int rc = inflate(&zs, Z_FINISH);
+  size_t got = expected - zs.avail_out;
+  inflateEnd(&zs);
+  if (rc != Z_STREAM_END && rc != Z_OK && rc != Z_BUF_ERROR) return false;
+  out.resize(got);
+  return got >= expected;
+}
+
 // PackBits (compression tag 32773, TIFF 6.0 spec section 9).
 bool packbits_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
                      size_t expected) {
@@ -188,8 +211,9 @@ bool predictor2_undo(std::vector<uint8_t>& buf, size_t rows, size_t width,
 }
 
 // Minimal TIFF: single image (first IFD), strips, grayscale, 8/16-bit
-// unsigned or 32-bit float; compression none/LZW/PackBits + predictor 2.
-// Enough for *.vessel.mip.tiff exports (incl. LZW-compressed ones).
+// unsigned or 32-bit float; compression none/LZW/Deflate/PackBits +
+// predictor 2. Enough for *.vessel.mip.tiff exports (incl. LZW- or
+// deflate-compressed ones).
 Image decode_tiff(const std::vector<uint8_t>& b) {
   Image im;
   if (b.size() < 8) return im;
@@ -241,7 +265,9 @@ Image decode_tiff(const std::vector<uint8_t>& b) {
     }
   }
   if (width == 0 || height == 0 || strip_offsets.empty()) return im;
-  if (compression != 1 && compression != 5 && compression != 32773) return im;
+  if (compression != 1 && compression != 5 && compression != 8 &&
+      compression != 32773 && compression != 32946)
+    return im;
   if (predictor != 1 && predictor != 2) return im;
   size_t bytes_per = bits / 8;
   size_t rps = (rows_per_strip == 0xFFFFFFFF || rows_per_strip == 0)
@@ -269,9 +295,10 @@ Image decode_tiff(const std::vector<uint8_t>& b) {
       }
     } else {
       buf.clear();
-      bool ok = compression == 5
-                    ? lzw_decode(&b[off], cnt, buf, expected)
-                    : packbits_decode(&b[off], cnt, buf, expected);
+      bool ok = compression == 5 ? lzw_decode(&b[off], cnt, buf, expected)
+                : compression == 32773
+                    ? packbits_decode(&b[off], cnt, buf, expected)
+                    : zip_decode(&b[off], cnt, buf, expected);
       if (!ok) return im;
       data = buf.data();
     }

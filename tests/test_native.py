@@ -359,3 +359,52 @@ def test_lzw_encoder_matches_libtiff_decoder(tmp_path):
                     bits=8, compression=5)
     back = np.asarray(Image.open(p))
     np.testing.assert_array_equal(back, arr)
+
+def test_decode_deflate_tiff_multistrip(tmp_path):
+    """Adobe deflate (compression 8): zlib-compressed strips; encoded by the
+    stdlib zlib so decoder conventions can't be self-confirming."""
+    import zlib
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    rows = 16
+    strips = [zlib.compress(arr[y : y + rows].tobytes())
+              for y in range(0, 40, rows)]
+    p = str(tmp_path / "zip8.vessel.mip.tiff")
+    _write_tiff_ext(p, strips, 56, 40, bits=8, compression=8,
+                    rows_per_strip=rows)
+    got = native.decode_image(p, (40, 56), binarize=False)
+    assert got is not None
+    want = _numpy_reference(arr.astype(np.float32), (40, 56), False)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_deflate_tiff_16bit_predictor2_legacy_tag(tmp_path):
+    """Legacy tag 32946 + predictor 2 on 16-bit data."""
+    import zlib
+
+    rng = np.random.default_rng(10)
+    arr = rng.integers(0, 65535, (24, 32)).astype(np.uint16)
+    diff = arr.copy()
+    diff[:, 1:] = arr[:, 1:] - arr[:, :-1]
+    strips = [zlib.compress(diff.astype("<u2").tobytes())]
+    p = str(tmp_path / "zip16p2.tiff")
+    _write_tiff_ext(p, strips, 32, 24, bits=16, compression=32946, predictor=2)
+    got = native.decode_image(p, (24, 32), binarize=False)
+    assert got is not None
+    want = _numpy_reference(arr.astype(np.float32), (24, 32), False)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_decode_real_libtiff_deflate_file(tmp_path):
+    """Ground truth: a deflate TIFF written by a REAL libtiff (via cv2,
+    COMPRESSION_ADOBE_DEFLATE=8)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    p = str(tmp_path / "libtiff_zip.tiff")
+    assert cv2.imwrite(p, arr, [cv2.IMWRITE_TIFF_COMPRESSION, 8])
+    got = native.decode_image(p, (48, 64), binarize=False)
+    assert got is not None
+    want = _numpy_reference(arr.astype(np.float32), (48, 64), False)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
