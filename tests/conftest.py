@@ -42,7 +42,7 @@ import pytest  # noqa: E402
 
 def pytest_collection_modifyitems(config, items):
     """Every test not marked ``slow`` is part of the ``quick`` tier
-    (``pytest -m quick`` ~= 8 min vs ~25-50 min full on this 1-core
+    (``pytest -m quick`` measured 9.8 min warm-cache vs ~25-50 min full on this 1-core
     host; both compile-bound)."""
     for item in items:
         if "slow" not in item.keywords:
