@@ -65,10 +65,9 @@ V5E_HBM_BW = 819e9  # bytes/sec
 FLAGSHIP_LOGICAL_FLOPS = 1.613e12
 
 
-def bench_flagship(dtype_name: str) -> dict:
-    """Full vessel train step (ELBO with dynamic pos_weight + sparsity +
-    Gaussian-NLL, BatchNorm mutation, in-kernel attention dropout, grad-clip,
-    Adam) at 768x1280 batch 8 — ms/step, images/sec/chip, MFU, HBM roofline."""
+def _flagship_setup(dtype_name: str):
+    """Model + fused step + fresh state + synthetic batch for the flagship
+    workload, shared by the per-dispatch and scanned measurements."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,6 +106,17 @@ def bench_flagship(dtype_name: str) -> dict:
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
                      optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     state = TrainState.create(variables, tx)
+    return step, state, batch, key
+
+
+def bench_flagship(dtype_name: str) -> dict:
+    """Full vessel train step (ELBO with dynamic pos_weight + sparsity +
+    Gaussian-NLL, BatchNorm mutation, in-kernel attention dropout, grad-clip,
+    Adam) at 768x1280 batch 8 — ms/step, images/sec/chip, MFU, HBM roofline."""
+    import jax
+    import numpy as np
+
+    step, state, batch, key = _flagship_setup(dtype_name)
 
     jstep = jax.jit(step, donate_argnums=0)
     # one compile: time the compiled executable itself (the jit dispatch
@@ -137,6 +147,43 @@ def bench_flagship(dtype_name: str) -> dict:
         "mfu_xla_counted": round(flops / dt / V5E_PEAK_FLOPS, 4),
         "mfu_logical": round(FLAGSHIP_LOGICAL_FLOPS / dt / V5E_PEAK_FLOPS, 4),
         "hbm_roofline_frac": round(bytes_acc / dt / V5E_HBM_BW, 4),
+    }
+
+
+def bench_flagship_scanned() -> dict:
+    """The flagship step in PRODUCTION TRAINING MODE: SCAN_N optimizer steps
+    per dispatch via lax.scan (train/scan_loop.py semantics; CLI
+    --scan-steps), bf16. Removes the per-launch host-dispatch/tunnel cost
+    from the measured step — the per-step number a real training run sees.
+    HLO-identical to scripts/flagship_scan_bench.py so the persistent compile
+    cache is shared."""
+    import jax
+    import numpy as np
+
+    SCAN_N = 8
+    step, state, batch, key = _flagship_setup("bfloat16")
+
+    def scanned(state0, b, k):
+        def body(st, kk):
+            st2, metrics = step(st, b, kk)
+            return st2, metrics["loss"]
+
+        return jax.lax.scan(body, state0, jax.random.split(k, SCAN_N))
+
+    compiled = jax.jit(scanned, donate_argnums=0).lower(state, batch, key).compile()
+    state, losses = compiled(state, batch, key)
+    float(np.asarray(losses)[0])  # device fetch = reliable barrier
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        state, losses = compiled(state, batch, jax.random.fold_in(key, i))
+    float(np.asarray(losses)[0])
+    dt = (time.perf_counter() - t0) / (SCAN_N * reps)
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "images_per_sec_per_chip": round(FLAGSHIP_BATCH / dt, 2),
+        "timing": f"device-resident: {SCAN_N} optimizer steps per dispatch "
+                  f"(lax.scan), {reps} dispatches timed",
     }
 
 
@@ -625,6 +672,9 @@ def main():
     run_stage(flagship, "float32", lambda: bench_flagship("float32"), 180.0)
     run_stage(result, "serving", bench_serving, 180.0)
     run_stage(result, "serving_flagship", bench_serving_flagship, 240.0)
+    # last: worst case (cold scanned-loop compile) sacrifices only itself,
+    # never the per-dispatch flagship/serving blocks above
+    run_stage(flagship, "bfloat16_scanned", bench_flagship_scanned, 150.0)
 
 
 if __name__ == "__main__":
