@@ -189,18 +189,16 @@ def bench_flagship_scanned() -> dict:
 
 def _enable_compile_cache():
     """Persistent executable cache — the 768x1280 flagship step costs ~15 min
-    of (remote) compile cold; cached reruns skip it."""
+    of (remote) compile cold; cached reruns skip it. Scoped per host-CPU
+    signature (utils/cache.py) so stale cross-host CPU executables can never
+    be executed from a shared cache."""
     import os
 
-    import jax
+    from causalvae_tpu.utils.cache import enable_compile_cache
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    except Exception:
-        pass
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        min_secs=10)
 
 
 def bench_counterfactual() -> dict:

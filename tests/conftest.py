@@ -27,14 +27,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: this 1-core host is compile-bound (quick tier
 # ~18 min cold); repeat runs of unchanged tests hit the cache instead.
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
-try:
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
+# Scoped per host-CPU signature (utils/cache.py) so a stale cross-host cache
+# can never hand this process a mismatched-ISA CPU executable.
+from causalvae_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
