@@ -1,13 +1,14 @@
-"""Persistent XLA compile-cache setup, keyed by host-CPU signature.
+"""Persistent XLA compile-cache setup, keyed by backend + host-CPU signature.
 
 XLA's persistent-cache key does not include the compiling host's CPU feature
 set, so a ``.jax_cache`` populated on one machine can hand a different-ISA
-host an executable that SIGILLs (observed as XLA's "compile machine features
-don't match host" warning in the round-4 multichip artifact). Executables
-compiled for the CPU backend are the only ISA-sensitive ones, but scoping the
-whole cache per CPU signature is cheap and makes the artifact-of-record runs
-(driver dryrun, bench) immune by construction: a new host gets a cold cache,
-never a mismatched executable.
+host a CPU-backend executable that SIGILLs (observed as XLA's "compile
+machine features don't match host" warning in the round-4 multichip
+artifact). Only CPU-backend executables are ISA-sensitive, so the cache is
+scoped per CPU signature for the CPU backend only: a new host gets a cold
+CPU cache (never a mismatched executable), while TPU executables — expensive
+remote compiles, host-ISA-independent — stay shared across hosts in one
+``tpu/`` directory (the driver's bench budget depends on that warmth).
 """
 
 from __future__ import annotations
@@ -38,13 +39,20 @@ def host_cpu_tag() -> str:
 
 
 def enable_compile_cache(root: str, min_secs: int = 5) -> str:
-    """Point jax's persistent compilation cache at ``root/<cpu-tag>/``.
+    """Point jax's persistent compilation cache at the backend-scoped subdir
+    of ``root``: ``root/cpu-<cpu-tag>/`` on the CPU backend (ISA-sensitive
+    executables), ``root/<backend>/`` otherwise (shared across hosts).
 
     Returns the directory used (empty string if configuration failed, e.g.
     a jax version without the config knob)."""
     import jax
 
-    cache = os.path.join(root, host_cpu_tag())
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    sub = f"cpu-{host_cpu_tag()}" if backend == "cpu" else backend
+    cache = os.path.join(root, sub)
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
