@@ -45,7 +45,10 @@ BATCH = 128
 WARMUP = 5
 STEPS = 500
 TORCH_STEPS = 16
-TORCH_RUNS = 3  # median-of-k: single torch-cpu runs vary ~2x on a loaded host
+# median-of-k: single torch-cpu runs vary ~2x on a loaded host. 2 (not 3)
+# since round 5: the third run bought little median stability and its ~20 s
+# belongs to the budgeted stages (VERDICT r4 next-step #2).
+TORCH_RUNS = 2
 
 FLAGSHIP_BATCH = 8
 FLAGSHIP_HW = (768, 1280)
@@ -152,38 +155,54 @@ def bench_flagship(dtype_name: str) -> dict:
 
 def bench_flagship_scanned() -> dict:
     """The flagship step in PRODUCTION TRAINING MODE: SCAN_N optimizer steps
-    per dispatch via lax.scan (train/scan_loop.py semantics; CLI
-    --scan-steps), bf16. Removes the per-launch host-dispatch/tunnel cost
-    from the measured step — the per-step number a real training run sees.
+    per dispatch via the SAME make_scan_epoch program production training
+    jits (train/scan_loop.py; CLI --scan-steps), bf16, scanning over SCAN_N
+    DISTINCT stacked batches — so the scan body's HLO matches real training
+    and XLA cannot hoist batch-dependent work (dynamic pos_weight, input
+    transforms) out of the loop as invariants (ADVICE r4 medium). Removes the
+    per-launch host-dispatch/tunnel cost from the measured step.
     HLO-identical to scripts/flagship_scan_bench.py so the persistent compile
     cache is shared."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
+    from causalvae_tpu.ops.subpixel import space_to_depth_n
+    from causalvae_tpu.train.scan_loop import make_scan_epoch
+
     SCAN_N = 8
-    step, state, batch, key = _flagship_setup("bfloat16")
-
-    def scanned(state0, b, k):
-        def body(st, kk):
-            st2, metrics = step(st, b, kk)
-            return st2, metrics["loss"]
-
-        return jax.lax.scan(body, state0, jax.random.split(k, SCAN_N))
-
-    compiled = jax.jit(scanned, donate_argnums=0).lower(state, batch, key).compile()
-    state, losses = compiled(state, batch, key)
-    float(np.asarray(losses)[0])  # device fetch = reliable barrier
+    step, state, _, key = _flagship_setup("bfloat16")
+    rng = np.random.default_rng(7)
+    stacked = {
+        "x": jnp.asarray(space_to_depth_n(
+            (rng.random((SCAN_N, FLAGSHIP_BATCH, *FLAGSHIP_HW, 1)) > 0.9)
+            .astype(np.float32).reshape(-1, *FLAGSHIP_HW, 1), 3)
+            .reshape(SCAN_N, FLAGSHIP_BATCH, FLAGSHIP_HW[0] // 8,
+                     FLAGSHIP_HW[1] // 8, 64)),
+        "m": jnp.asarray(rng.standard_normal(
+            (SCAN_N, FLAGSHIP_BATCH, 12)).astype(np.float32)),
+        "t": jnp.asarray(np.eye(19, dtype=np.float32)[
+            rng.integers(0, 19, (SCAN_N, FLAGSHIP_BATCH))]),
+    }
+    epoch = jax.jit(make_scan_epoch(step, n_states=1), donate_argnums=0)
+    rngs = jax.random.split(key, SCAN_N)
+    compiled = epoch.lower((state,), stacked, rngs).compile()
+    (state,), losses = compiled((state,), stacked, rngs)
+    float(np.asarray(losses["loss"])[0])  # device fetch = reliable barrier
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
-        state, losses = compiled(state, batch, jax.random.fold_in(key, i))
-    float(np.asarray(losses)[0])
+        (state,), losses = compiled(
+            (state,), stacked, jax.random.split(jax.random.fold_in(key, i),
+                                                SCAN_N))
+    float(np.asarray(losses["loss"])[0])
     dt = (time.perf_counter() - t0) / (SCAN_N * reps)
     return {
         "ms_per_step": round(dt * 1e3, 1),
         "images_per_sec_per_chip": round(FLAGSHIP_BATCH / dt, 2),
         "timing": f"device-resident: {SCAN_N} optimizer steps per dispatch "
-                  f"(lax.scan), {reps} dispatches timed",
+                  f"(make_scan_epoch lax.scan over {SCAN_N} distinct stacked "
+                  f"batches), {reps} dispatches timed",
     }
 
 
@@ -278,6 +297,15 @@ def bench_parity(include_vessel: bool = True) -> dict:
     if include_vessel:
         out["vessel_cnn_c7_128x256"] = summarize(
             run_vessel_parity(steps=8, batch=2, hw=(128, 256)), 5e-3)
+        # the FLAGSHIP family (C9): trajectory through the real phase-packed
+        # + Pallas-flash-attention training path on this chip vs the torch
+        # reference loop on the host (VERDICT r4 next-step #1). Tolerance
+        # from the measured per-step growth law (results/
+        # parity_horizon_cpu.json; docs/PARITY.md derivation).
+        from causalvae_tpu.train.parity_vit import run_vit_parity
+
+        out["causal_vit_c9_64x96_packed"] = summarize(
+            run_vit_parity(steps=8, batch=4, hw=(64, 96), depth=2), 2e-2)
     return out
 
 
@@ -631,6 +659,7 @@ def main():
             "baseline_hw": "torch-cpu (no CUDA on host; torch has no TPU "
             f"backend); median of {len(torch_runs)} runs "
             f"{[round(r, 1) for r in torch_runs]}",
+            "headline_elapsed_s": round(time.time() - t_start, 1),
         }
     )
     emit()  # headline is now on stdout no matter what happens below
@@ -646,10 +675,13 @@ def main():
 
     def run_stage(store, key_name, fn, reserve_s):
         """Budget-gated stage; never lets one stage kill the headline line.
-        Reserves assume a warm .jax_cache (all programs are pre-compiled by
-        the in-repo evidence runs); cold compiles can eat the whole budget,
-        which the emit-superset protocol tolerates."""
+        Reserves assume a warm .jax_cache/tpu (shared across hosts since
+        round 5 — utils/cache.py); cold compiles can eat the whole budget,
+        which the emit-superset protocol tolerates. Every stage records its
+        own wall time as ``elapsed_s`` so a budget overrun in the artifact
+        is attributable to the stage that caused it (VERDICT r4 weak #1)."""
         remaining = budget - (time.time() - t_start)
+        t_stage = time.time()
         if remaining < reserve_s:
             store[key_name] = {
                 "skipped": f"budget: {remaining:.0f}s left < {reserve_s:.0f}s reserve"
@@ -659,6 +691,8 @@ def main():
                 store[key_name] = fn()
             except Exception as e:
                 store[key_name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        if isinstance(store[key_name], dict):
+            store[key_name]["elapsed_s"] = round(time.time() - t_stage, 1)
         emit()
 
     # stage order = evidence priority: trajectory parity (BASELINE metric #1),

@@ -445,7 +445,7 @@ def cmd_translate(args):
     corpus = _vessel_corpus(args)
     hw = (96, 160) if corpus.raw_images is not None else (384, 640)
     model = ViTVAE(img_size=hw, latent_dim=64, embed_dim=64, depth=2,
-                   heads=4, mlp_dim=128)
+                   heads=4, mlp_dim=128, dec_res_stages=4)
     model, state, _ = W.train_vit_vae(
         lambda e: iterate_batches(corpus, "all", args.batch_size or 4, hw,
                                   shuffle_seed=e, augment=False),

@@ -135,6 +135,12 @@ class ViTVAE(nn.Module):
     heads: int = 8
     mlp_dim: int = 512
     dropout: float = 0.1
+    # Decoder ConvTranspose stages followed by a ResBlock. The two reference
+    # variants differ here: the vessel backbone (the C8/C9 flagship family)
+    # has a ResBlock after the first THREE stages only (ref
+    # vessel_analysis/00_core/vit_backbone.py:124-156), the latent-translator
+    # variant after the first four (ref latent_translator/models.py:86-93).
+    dec_res_stages: int = 3
     dtype: jnp.dtype = jnp.float32
     # phase-packed execution (ops/subpixel.py): the stem consumes a
     # space-to-depth-packed input and the decoder stays on coarse grids with
@@ -203,7 +209,8 @@ class ViTVAE(nn.Module):
         self.decoder_input = nn.Dense(self.embed_dim * gh * gw, dtype=d)
         self.dec_ct = [conv_t(c, 3, 2, 1, output_padding=1, dtype=d) for c in (128, 64, 32, 16, 16)]
         self.dec_bns = [batch_norm(dtype=d) for _ in range(5)]
-        self.dec_res = [ResBlock(c, dtype=d) for c in (128, 64, 32, 16)]
+        self.dec_res = [ResBlock(c, dtype=d)
+                        for c in (128, 64, 32, 16)[: self.dec_res_stages]]
         from causalvae_tpu.ops.subpixel import PhaseableConv3x3
 
         self.dec_out = PhaseableConv3x3(self.in_channels, dtype=d)
@@ -323,8 +330,11 @@ class ViTVAE(nn.Module):
                                 prologue=pro2, fused=True)
             h = self.dec_ct[3](h, phase_output=True, in_levels=1,
                                use_pallas=True)            # L2: 256
-            h = self.dec_res[3](h, train=train, levels=2,
-                                prologue=bn_affine(3, h, 16, 16), fused=True)
+            if len(self.dec_res) > 3:  # translator variant (4 ResBlocks)
+                h = self.dec_res[3](h, train=train, levels=2,
+                                    prologue=bn_affine(3, h, 16, 16), fused=True)
+            else:
+                h = bn_act(3, h, 16)
             h = self.dec_ct[4](h, phase_output=True, in_levels=2,
                                use_pallas=True)            # L3: 1024
             mul4, add4, slope4 = bn_affine(4, h, 64, 64)
@@ -342,7 +352,8 @@ class ViTVAE(nn.Module):
             h = self.dec_res[2](h, train=train, levels=1)
             h = self.dec_ct[3](h, phase_output=True, in_levels=1)  # L2: 256
             h = bn_act(3, h, 16)
-            h = self.dec_res[3](h, train=train, levels=2)
+            if len(self.dec_res) > 3:  # translator variant (4 ResBlocks)
+                h = self.dec_res[3](h, train=train, levels=2)
             h = self.dec_ct[4](h, phase_output=True, in_levels=2)  # L3: 1024
             h = bn_act(4, h, 64)
             o = self.dec_out(h, levels=3)                  # (4gh, 4gw, 64)
@@ -374,6 +385,8 @@ class CausalViTVAE(nn.Module):
     depth: int = 6
     heads: int = 8
     mlp_dim: int = 512
+    dropout: float = 0.1
+    dec_res_stages: int = 3  # see ViTVAE.dec_res_stages (vessel variant)
     dtype: jnp.dtype = jnp.float32
     packed: bool = True
     packed_io: bool = False  # see ViTVAE.packed_io
@@ -389,6 +402,8 @@ class CausalViTVAE(nn.Module):
             depth=self.depth,
             heads=self.heads,
             mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            dec_res_stages=self.dec_res_stages,
             dtype=d,
             packed=self.packed,
             packed_io=self.packed_io,

@@ -31,12 +31,26 @@ _ID = lambda a: np.asarray(a)  # noqa: E731
 # torch stem Sequential indices: conv at 0,3,6,9,12; BN at 1,4,7,10,13
 _STEM_CONV_IDX = (0, 3, 6, 9, 12)
 _STEM_BN_IDX = (1, 4, 7, 10, 13)
-# torch decoder Sequential: ConvT at 0,4,8,12,16; BN at 1,5,9,13,17;
-# ResBlock at 3,7,11,15; output conv at 19
-_DEC_CT_IDX = (0, 4, 8, 12, 16)
-_DEC_BN_IDX = (1, 5, 9, 13, 17)
-_DEC_RES_IDX = (3, 7, 11, 15)
-_DEC_OUT_IDX = 19
+
+
+def _dec_indices(dec_res_stages: int):
+    """torch decoder Sequential indices for a ViTVAE decoder whose first
+    ``dec_res_stages`` ConvTranspose stages are followed by a ResBlock.
+
+    The two reference variants differ here: the vessel backbone has 3
+    ResBlocks (ref vessel_analysis/00_core/vit_backbone.py:124-156 — no
+    ResBlock after the 4th stage), the latent-translator one has 4
+    (ref latent_translator/models.py:86-93)."""
+    ct, bn, res = [], [], []
+    pos = 0
+    for i in range(5):
+        ct.append(pos)
+        bn.append(pos + 1)
+        pos += 3  # ConvTranspose, BatchNorm, LeakyReLU
+        if i < dec_res_stages:
+            res.append(pos)
+            pos += 1
+    return tuple(ct), tuple(bn), tuple(res), pos
 
 
 def _qkv_kernel(heads: int, head_dim: int):
@@ -62,10 +76,23 @@ def _bn(prefix_flax: str, prefix_torch: str, params: Dict, stats: Dict):
 
 
 def vitvae_name_maps(
-    depth: int = 6, heads: int = 8, embed_dim: int = 256, prefix: str = ""
+    depth: int = 6, heads: int = 8, embed_dim: int = 256, prefix: str = "",
+    dec_res_stages: int = 3, grid_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Dict, Dict]:
     """(params_map, batch_stats_map) for ViTVAE; prefix='backbone/' (flax) +
-    'backbone.' (torch) when wrapped inside CausalViTVAE."""
+    'backbone.' (torch) when wrapped inside CausalViTVAE.
+
+    dec_res_stages=3 matches the vessel backbone (C8/C9 family, ref
+    vit_backbone.py:124-156); the latent-translator variant needs 4.
+
+    grid_hw: the torch model's (grid_h, grid_w). REQUIRED for a correct
+    decoder_input port: torch views its output channel-major
+    (ref vit_backbone.py:187-189 ``view(-1, embed, gh, gw)``), flax reshapes
+    row-major NHWC — the Linear's output rows must be permuted chw -> hwc.
+    Without it the port is torch-row-identical, which scrambles the decoder's
+    spatial map (caught by the C9 trajectory-parity harness, round 5)."""
+    _DEC_CT_IDX, _DEC_BN_IDX, _DEC_RES_IDX, _DEC_OUT_IDX = _dec_indices(
+        dec_res_stages)
     head_dim = embed_dim // heads
     fpre = prefix.replace(".", "/")
     tpre = prefix.replace("/", ".")
@@ -94,9 +121,25 @@ def vitvae_name_maps(
     for name in ("to_latent",):
         P[f"{fpre}{name}/scale"] = (f"{tpre}{name}.weight", _ID)
         P[f"{fpre}{name}/bias"] = (f"{tpre}{name}.bias", _ID)
-    for name in ("fc_mu", "fc_var", "decoder_input"):
+    for name in ("fc_mu", "fc_var"):
         P[f"{fpre}{name}/kernel"] = (f"{tpre}{name}.weight", torch_linear_to_flax)
         P[f"{fpre}{name}/bias"] = (f"{tpre}{name}.bias", _ID)
+    # decoder_input produces the to-be-reshaped conv map: torch flattens it
+    # channel-major (view(-1, E, gh, gw)), flax NHWC — permute the output
+    # rows chw -> hwc (same boundary handling as the MNIST dec_fc and the
+    # vessel-CNN dec_fc2 ports). Falls back to the (wrong-order) plain
+    # transpose only if the grid is unknown — every in-repo caller passes it.
+    if grid_hw is not None:
+        gh, gw = grid_hw
+        P[f"{fpre}decoder_input/kernel"] = (
+            f"{tpre}decoder_input.weight",
+            _hwc_from_chw_rows(embed_dim, gh, gw))
+        P[f"{fpre}decoder_input/bias"] = (
+            f"{tpre}decoder_input.bias", _hwc_from_chw_bias(embed_dim, gh, gw))
+    else:  # pragma: no cover - legacy fallback
+        P[f"{fpre}decoder_input/kernel"] = (
+            f"{tpre}decoder_input.weight", torch_linear_to_flax)
+        P[f"{fpre}decoder_input/bias"] = (f"{tpre}decoder_input.bias", _ID)
     for i, (ci, bi) in enumerate(zip(_DEC_CT_IDX, _DEC_BN_IDX)):
         P[f"{fpre}dec_ct_{i}/kernel"] = (f"{tpre}decoder.{ci}.weight", torch_convT_to_flax)
         P[f"{fpre}dec_ct_{i}/bias"] = (f"{tpre}decoder.{ci}.bias", _ID)
@@ -114,10 +157,13 @@ def vitvae_name_maps(
     return P, S
 
 
-def causal_vitvae_name_maps(depth: int = 6, heads: int = 8, embed_dim: int = 256):
+def causal_vitvae_name_maps(depth: int = 6, heads: int = 8, embed_dim: int = 256,
+                            dec_res_stages: int = 3,
+                            grid_hw: Optional[Tuple[int, int]] = None):
     """Maps for the full CausalViTVAE (backbone + adapters + morph heads,
     ref models.py:207-250)."""
-    P, S = vitvae_name_maps(depth, heads, embed_dim, prefix="backbone/")
+    P, S = vitvae_name_maps(depth, heads, embed_dim, prefix="backbone/",
+                            dec_res_stages=dec_res_stages, grid_hw=grid_hw)
     for fl, tl in (("enc_adapter_fc1", "enc_adapter.0"),
                    ("enc_adapter_fc2", "enc_adapter.3"),
                    ("dec_adapter_fc1", "dec_adapter.0"),
@@ -351,6 +397,8 @@ def port_vitvae_checkpoint(
     depth: int = 6,
     heads: int = 8,
     embed_dim: int = 256,
+    dec_res_stages: int = 3,
+    grid_hw: Optional[Tuple[int, int]] = None,
     src_grid: Optional[Tuple[int, int]] = None,
     dst_grid: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Dict, list]:
@@ -358,16 +406,29 @@ def port_vitvae_checkpoint(
 
     Returns (variables, skipped). strict=False semantics: mismatched shapes
     are skipped (except pos-embedding, which is interpolated when the grids
-    are given — the smart_load_weights path)."""
+    are given — the smart_load_weights path). dec_res_stages=3 for the
+    vessel family, 4 for latent-translator checkpoints. grid_hw is the torch
+    checkpoint's decoder grid (needed for the decoder_input row permutation);
+    defaults to src_grid, then dst_grid."""
     maps = (causal_vitvae_name_maps if causal else vitvae_name_maps)(
-        depth, heads, embed_dim
+        depth, heads, embed_dim, dec_res_stages=dec_res_stages,
+        grid_hw=grid_hw or src_grid or dst_grid,
     )
     pos_key = ("backbone/" if causal else "") + "pos_embedding"
     flat_p = flatten_params(variables["params"])
+    # The causal wrapper never instantiates the backbone latent heads — it
+    # bypasses fc_mu/fc_var via the adapters (ref models.py:281-302 reads the
+    # CLS token directly), so those torch weights have no flax home. Mirror
+    # the reference's load_state_dict(strict=False): drop map rows whose flax
+    # key was never created, reporting them in ``skipped``.
+    absent = [k for k in maps[0] if k not in flat_p]
+    p_map = {k: v for k, v in maps[0].items() if k in flat_p}
     ported_p, skipped_p = smart_port(
-        flat_p, torch_state, maps[0],
+        flat_p, torch_state, p_map,
         pos_embedding_key=pos_key, src_grid=src_grid, dst_grid=dst_grid,
     )
+    skipped_p = list(skipped_p) + [(k, "not-instantiated-in-flax")
+                                   for k in absent]
     out = {"params": unflatten_params(ported_p)}
     skipped = list(skipped_p)
     if "batch_stats" in variables:

@@ -300,7 +300,10 @@ def train_vit_vae(batches_fn, img_hw: Tuple[int, int], *, latent_dim: int = 512,
                   model: Optional[ViTVAE] = None):
     """ViT-VAE pretraining, mean MSE + beta*KLD (T6, ref latent_translator/
     engine.py:6-36); batches_fn(epoch) yields {'x': (B,H,W,1)}."""
-    model = model or ViTVAE(img_size=img_hw, latent_dim=latent_dim)
+    # translator-variant backbone: 4 decoder ResBlock stages
+    # (ref latent_translator/models.py:86-93)
+    model = model or ViTVAE(img_size=img_hw, latent_dim=latent_dim,
+                            dec_res_stages=4)
 
     def loss_fn(outputs, batch):
         recon, _, mu, logvar = outputs

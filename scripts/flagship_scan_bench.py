@@ -7,14 +7,15 @@ import sys
 import time
 
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 sys.path.insert(0, "/root/repo")
+
+from causalvae_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache("/root/repo/.jax_cache", min_secs=10)
 
 from causalvae_tpu.config import VesselConfig
 from causalvae_tpu.models.vit import CausalViTVAE
@@ -38,10 +39,23 @@ def main():
         (rng.random((BATCH, *HW, 1)) > 0.9).astype(np.float32), 3))
     m = jnp.asarray(rng.standard_normal((BATCH, 12)).astype(np.float32))
     t = jnp.asarray(np.eye(19, dtype=np.float32)[rng.integers(0, 19, BATCH)])
-    batch = {"x": x, "m": m, "t": t}
     key = jax.random.PRNGKey(0)
     variables = model.init({"params": key, "dropout": key}, x[:1], m[:1], t[:1],
                            rng=key, train=True)
+    # SCAN_N DISTINCT stacked batches — same program shape as production
+    # scanned training (make_scan_epoch); a single closed-over batch lets XLA
+    # hoist batch-dependent work out of the loop (ADVICE r4 medium).
+    rng2 = np.random.default_rng(7)
+    stacked = {
+        "x": jnp.asarray(space_to_depth_n(
+            (rng2.random((SCAN_N, BATCH, *HW, 1)) > 0.9)
+            .astype(np.float32).reshape(-1, *HW, 1), 3)
+            .reshape(SCAN_N, BATCH, HW[0] // 8, HW[1] // 8, 64)),
+        "m": jnp.asarray(rng2.standard_normal(
+            (SCAN_N, BATCH, 12)).astype(np.float32)),
+        "t": jnp.asarray(np.eye(19, dtype=np.float32)[
+            rng2.integers(0, 19, (SCAN_N, BATCH))]),
+    }
 
     def loss_fn(out, b):
         return L.vessel_loss(out, b["x"], b["m"], beta=cfg.beta,
@@ -53,23 +67,22 @@ def main():
                      optax.adam(cfg.lr, mu_dtype=jnp.dtype(cfg.adam_mu_dtype)))
     state = TrainState.create(variables, tx)
 
-    def scanned(state0, b, k):
-        def body(st, kk):
-            st2, metrics = step(st, b, kk)
-            return st2, metrics["loss"]
+    from causalvae_tpu.train.scan_loop import make_scan_epoch
 
-        return jax.lax.scan(body, state0, jax.random.split(k, SCAN_N))
-
+    epoch = jax.jit(make_scan_epoch(step, n_states=1), donate_argnums=0)
+    rngs = jax.random.split(key, SCAN_N)
     t_c0 = time.perf_counter()
-    compiled = jax.jit(scanned, donate_argnums=0).lower(state, batch, key).compile()
+    compiled = epoch.lower((state,), stacked, rngs).compile()
     print(f"compiled in {time.perf_counter() - t_c0:.0f}s", file=sys.stderr)
-    state, losses = compiled(state, batch, key)
-    float(np.asarray(losses)[0])
+    (state,), losses = compiled((state,), stacked, rngs)
+    float(np.asarray(losses["loss"])[0])
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
-        state, losses = compiled(state, batch, jax.random.fold_in(key, i))
-    float(np.asarray(losses)[0])
+        (state,), losses = compiled(
+            (state,), stacked,
+            jax.random.split(jax.random.fold_in(key, i), SCAN_N))
+    float(np.asarray(losses["loss"])[0])
     dt = (time.perf_counter() - t0) / (SCAN_N * reps)
     print(json.dumps({
         "piece": f"scanned_step_x{SCAN_N}_bf16",

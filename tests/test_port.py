@@ -57,9 +57,12 @@ class TorchViTBlock(nn.Module):
 
 class TorchViTVAE(nn.Module):
     """Same architecture family as the reference backbone (independent tiny
-    re-implementation for the port test)."""
+    re-implementation for the port test). n_res selects the reference
+    variant: 3 decoder ResBlocks = vessel backbone (ref vessel_analysis/
+    00_core/vit_backbone.py:124-156), 4 = latent-translator
+    (ref latent_translator/models.py:86-93)."""
 
-    def __init__(self):
+    def __init__(self, n_res=3):
         super().__init__()
         chs = [32, 64, 128, EMBED, EMBED]
         stem = []
@@ -85,7 +88,7 @@ class TorchViTVAE(nn.Module):
         for i, c in enumerate(dchs):
             dec += [nn.ConvTranspose2d(prev, c, 3, 2, 1, output_padding=1),
                     nn.BatchNorm2d(c), nn.LeakyReLU()]
-            if i < 4:
+            if i < n_res:
                 dec += [TorchResBlock(c)]
             prev = c
         dec += [nn.Conv2d(16, 1, 3, padding=1)]
@@ -106,10 +109,12 @@ class TorchViTVAE(nn.Module):
         return self.decoder(h)
 
 
-@pytest.fixture(scope="module")
-def ported():
+@pytest.fixture(scope="module", params=[3, 4],
+                ids=["vessel_3res", "translator_4res"])
+def ported(request):
+    n_res = request.param
     torch.manual_seed(0)
-    tm = TorchViTVAE().eval()
+    tm = TorchViTVAE(n_res=n_res).eval()
     # perturb BN running stats so the port is actually exercised
     with torch.no_grad():
         for mod in tm.modules():
@@ -119,12 +124,13 @@ def ported():
     state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
     fm = ViTVAE(img_size=IMG, latent_dim=LATENT, embed_dim=EMBED,
-                depth=DEPTH, heads=HEADS, mlp_dim=MLP)
+                depth=DEPTH, heads=HEADS, mlp_dim=MLP, dec_res_stages=n_res)
     key = jax.random.PRNGKey(0)
     variables = fm.init({"params": key, "dropout": key},
                         jnp.zeros((1, *IMG, 1)), rng=key)
     variables, skipped = port_vitvae_checkpoint(
-        variables, state, depth=DEPTH, heads=HEADS, embed_dim=EMBED)
+        variables, state, depth=DEPTH, heads=HEADS, embed_dim=EMBED,
+        dec_res_stages=n_res, grid_hw=(IMG[0] // 32, IMG[1] // 32))
     skipped = [s for s in skipped if "num_batches_tracked" not in s[0]]
     assert not skipped, skipped
     return tm, fm, variables

@@ -116,19 +116,22 @@ def test_consume_once_matches_strided_conv():
                                rtol=1e-5, atol=1e-5)
 
 
-def _vit_pair(img=(64, 96), dropout=0.1):
+def _vit_pair(img=(64, 96), dropout=0.1, dec_res_stages=3):
     from causalvae_tpu.models.vit import ViTVAE
 
     kw = dict(img_size=img, latent_dim=24, embed_dim=32, depth=1, heads=2,
-              mlp_dim=48, dropout=dropout)
+              mlp_dim=48, dropout=dropout, dec_res_stages=dec_res_stages)
     return ViTVAE(packed=True, **kw), ViTVAE(packed=False, **kw)
 
 
 @pytest.mark.slow
-def test_vit_packed_matches_spatial():
+@pytest.mark.parametrize("n_res", [3, 4], ids=["vessel_3res", "translator_4res"])
+def test_vit_packed_matches_spatial(n_res):
     """The phase-packed ViTVAE (stem + decoder) must match the spatial
-    formulation with the same parameters — full forward, train and eval."""
-    packed, spatial = _vit_pair()
+    formulation with the same parameters — full forward, train and eval.
+    Covers both reference decoder variants (3 ResBlocks = vessel,
+    4 = latent-translator)."""
+    packed, spatial = _vit_pair(dec_res_stages=n_res)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 96, 1)),
                     jnp.float32)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
@@ -150,7 +153,7 @@ def test_vit_packed_matches_spatial():
 
     # train (dropout=0 so the attention path is deterministic); batch_stats
     # updates must agree too
-    packed0, spatial0 = _vit_pair(dropout=0.0)
+    packed0, spatial0 = _vit_pair(dropout=0.0, dec_res_stages=n_res)
     op, mp = packed0.apply(variables, x, rng=jax.random.PRNGKey(3), train=True,
                            rngs={"dropout": jax.random.PRNGKey(4)},
                            mutable=["batch_stats"])
