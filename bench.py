@@ -353,12 +353,13 @@ def bench_serving() -> dict:
                     rng.integers(0, cfg.t_dim, n)])
 
     out = {"family": "mnist_causal_vae"}
+    t_one = np.eye(cfg.t_dim, dtype=np.float32)[:1]
     with BatchingEngine(eps, buckets=(1, 8, 64, 128),
                         max_delay_s=0.002) as eng:
         lat = {}
         for name, args in (("reconstruct", batch(1)), ("do_t", batch(1)),
-                           ("predict_m", (np.eye(cfg.t_dim,
-                                                 dtype=np.float32)[:1],))):
+                           ("predict_m", (t_one,)),
+                           ("uncertainty", (t_one,))):
             eng.infer(name, *args)  # compile/warm the b1 bucket
             samples = []
             for _ in range(30):
@@ -411,6 +412,33 @@ def bench_serving() -> dict:
                 (eng.stats["rows"] - rows0)
                 / max(eng.stats["launches"] - launches0, 1), 2),
         }
+
+    # k-fold-ensemble endpoints (mean + spread over 5 stacked fold params —
+    # the served form of ref ensemble_reconstruction.py:54-92 /
+    # extract_uncertainty_by_treatment.py:68-117; VERDICT r4 next-step #5)
+    from causalvae_tpu.serve.endpoints import ensemble_endpoints
+
+    stacked = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[model.init({"params": jax.random.PRNGKey(i)},
+                     jnp.zeros((1, 28, 28, 1)), jnp.zeros((1, cfg.m_dim)),
+                     jnp.zeros((1, cfg.t_dim)), rng=key)
+          for i in range(5)])
+    ens = ensemble_endpoints(model, stacked)
+    with BatchingEngine(ens, buckets=(1,), max_delay_s=0.002) as eng:
+        lat = {}
+        z1 = rng.standard_normal((1, cfg.z_dim)).astype(np.float32)
+        m1 = rng.standard_normal((1, cfg.m_dim)).astype(np.float32)
+        for name, args in (("decode", (m1, z1)), ("predict_m", (t_one,)),
+                           ("uncertainty", (t_one,))):
+            eng.infer(name, *args)
+            samples = []
+            for _ in range(30):
+                t0 = time.perf_counter()
+                eng.infer(name, *args)
+                samples.append(time.perf_counter() - t0)
+            lat[name] = _percentiles_ms(samples)
+        out["ensemble_5fold_single_request"] = lat
 
     # AOT artifact vs live jit (batch-1 reconstruct)
     import tempfile

