@@ -112,6 +112,109 @@ def _flagship_setup(dtype_name: str):
     return step, state, batch, key
 
 
+# ---------------------------------------------------------------------------
+# Compile prewarming. Measured on this host (2026-08-20): the remote-TPU
+# tunnel's compile+executable-load cost dominates every big stage — 100-400 s
+# per flagship-class program (10-40 MB serialized) EVEN on a persistent-cache
+# hit, and two compile submissions demonstrably overlap (2 unique mid-size
+# programs: 8.2 s serial vs 5.1 s in threads). So the compile-heavy stage
+# programs are built on a 2-worker background pool, started right after the
+# headline jax measurement (never concurrent with it, so the artifact's
+# latency numbers stay uncontaminated; the overlapped phases — torch-cpu
+# baselines and the parity stage — measure numerical deltas or pure-CPU
+# throughput, not TPU latency). Stages then find their executable already
+# loaded in-process and measure in seconds.
+_PREWARM: dict = {}
+
+
+def _flagship_runner(dtype_name: str):
+    """Build + compile the flagship step; returns a dict bench_flagship
+    consumes. Separated from the measurement so the compile can prewarm."""
+    import jax
+
+    step, state, batch, key = _flagship_setup(dtype_name)
+    compiled = jax.jit(step, donate_argnums=0).lower(state, batch, key).compile()
+    return {"compiled": compiled, "state": state, "batch": batch, "key": key}
+
+
+def _scanned_runner():
+    """Build + compile the production make_scan_epoch program (bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from causalvae_tpu.ops.subpixel import space_to_depth_n
+    from causalvae_tpu.train.scan_loop import make_scan_epoch
+
+    SCAN_N = 8
+    step, state, _, key = _flagship_setup("bfloat16")
+    rng = np.random.default_rng(7)
+    stacked = {
+        "x": jnp.asarray(space_to_depth_n(
+            (rng.random((SCAN_N, FLAGSHIP_BATCH, *FLAGSHIP_HW, 1)) > 0.9)
+            .astype(np.float32).reshape(-1, *FLAGSHIP_HW, 1), 3)
+            .reshape(SCAN_N, FLAGSHIP_BATCH, FLAGSHIP_HW[0] // 8,
+                     FLAGSHIP_HW[1] // 8, 64)),
+        "m": jnp.asarray(rng.standard_normal(
+            (SCAN_N, FLAGSHIP_BATCH, 12)).astype(np.float32)),
+        "t": jnp.asarray(np.eye(19, dtype=np.float32)[
+            rng.integers(0, 19, (SCAN_N, FLAGSHIP_BATCH))]),
+    }
+    epoch = jax.jit(make_scan_epoch(step, n_states=1), donate_argnums=0)
+    rngs = jax.random.split(key, SCAN_N)
+    compiled = epoch.lower((state,), stacked, rngs).compile()
+    return {"compiled": compiled, "state": state, "stacked": stacked,
+            "key": key, "rngs": rngs, "scan_n": SCAN_N}
+
+
+def start_prewarm() -> None:
+    """Kick off background compiles for the flagship-family stages, in stage
+    order. Call AFTER the headline jax measurement."""
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max_workers=2)
+    _PREWARM["_pool"] = pool
+    for name, builder in (  # submit in STAGE order, 2 in flight
+        ("flagship_bfloat16", lambda: _flagship_runner("bfloat16")),
+        ("flagship_float32", lambda: _flagship_runner("float32")),
+        ("scanned", _scanned_runner),
+    ):
+        _PREWARM[name] = pool.submit(builder)
+
+
+def _prewarmed(name: str):
+    """The prewarmed runner if start_prewarm ran, else None (standalone
+    callers like scripts/flagship_sched_probe.py build inline). A prewarm
+    that FAILED (the remote compile service flakes under long uploads —
+    observed: 'response body closed before all bytes were read') returns
+    None so the stage rebuilds inline as its retry."""
+    fut = _PREWARM.get(name)
+    if fut is None:
+        return None
+    try:
+        return fut.result()
+    except Exception as e:  # stage will rebuild inline
+        print(f"[prewarm {name} failed, stage rebuilds inline: {e}]"[:300],
+              file=sys.stderr, flush=True)
+        return None
+
+
+def prewarm_barrier() -> float:
+    """Block until every outstanding prewarm compile has settled; returns the
+    wait in seconds. MUST run before any stage that measures TPU latency:
+    a measurement taken while a 10-40 MB executable upload is in flight on
+    the shared tunnel reads ~2x slow (observed: 93.8 ms/step for the 41.9 ms
+    flagship step)."""
+    t0 = time.time()
+    for name, fut in list(_PREWARM.items()):
+        if name != "_pool":
+            try:
+                fut.result()
+            except Exception:
+                pass  # surfaced by _prewarmed at stage time
+    return time.time() - t0
+
+
 def bench_flagship(dtype_name: str) -> dict:
     """Full vessel train step (ELBO with dynamic pos_weight + sparsity +
     Gaussian-NLL, BatchNorm mutation, in-kernel attention dropout, grad-clip,
@@ -119,12 +222,11 @@ def bench_flagship(dtype_name: str) -> dict:
     import jax
     import numpy as np
 
-    step, state, batch, key = _flagship_setup(dtype_name)
-
-    jstep = jax.jit(step, donate_argnums=0)
-    # one compile: time the compiled executable itself (the jit dispatch
-    # cache is not shared with .lower(), so calling jstep would recompile)
-    compiled = jstep.lower(state, batch, key).compile()
+    run = _prewarmed(f"flagship_{dtype_name}")
+    if run is None:
+        run = _flagship_runner(dtype_name)
+    compiled, state, batch, key = (run["compiled"], run["state"],
+                                   run["batch"], run["key"])
     ca = compiled.cost_analysis()
     # XLA-counted flops include the structurally-zero taps of the
     # phase-packed conv kernels (ops/subpixel.py) — ~2.8x the logical
@@ -164,29 +266,14 @@ def bench_flagship_scanned() -> dict:
     HLO-identical to scripts/flagship_scan_bench.py so the persistent compile
     cache is shared."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from causalvae_tpu.ops.subpixel import space_to_depth_n
-    from causalvae_tpu.train.scan_loop import make_scan_epoch
-
-    SCAN_N = 8
-    step, state, _, key = _flagship_setup("bfloat16")
-    rng = np.random.default_rng(7)
-    stacked = {
-        "x": jnp.asarray(space_to_depth_n(
-            (rng.random((SCAN_N, FLAGSHIP_BATCH, *FLAGSHIP_HW, 1)) > 0.9)
-            .astype(np.float32).reshape(-1, *FLAGSHIP_HW, 1), 3)
-            .reshape(SCAN_N, FLAGSHIP_BATCH, FLAGSHIP_HW[0] // 8,
-                     FLAGSHIP_HW[1] // 8, 64)),
-        "m": jnp.asarray(rng.standard_normal(
-            (SCAN_N, FLAGSHIP_BATCH, 12)).astype(np.float32)),
-        "t": jnp.asarray(np.eye(19, dtype=np.float32)[
-            rng.integers(0, 19, (SCAN_N, FLAGSHIP_BATCH))]),
-    }
-    epoch = jax.jit(make_scan_epoch(step, n_states=1), donate_argnums=0)
-    rngs = jax.random.split(key, SCAN_N)
-    compiled = epoch.lower((state,), stacked, rngs).compile()
+    run = _prewarmed("scanned")
+    if run is None:
+        run = _scanned_runner()
+    compiled, state, stacked, key, rngs, SCAN_N = (
+        run["compiled"], run["state"], run["stacked"], run["key"],
+        run["rngs"], run["scan_n"])
     (state,), losses = compiled((state,), stacked, rngs)
     float(np.asarray(losses["loss"])[0])  # device fetch = reliable barrier
     t0 = time.perf_counter()
@@ -655,7 +742,14 @@ def bench_torch() -> float:
 
 def main():
     t_start = time.time()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    # 2400 s default since round 5: stage costs are dominated by the remote
+    # compile/executable-load tunnel, whose latency varies ~4x run-to-run
+    # (measured 2026-08-20: the same warm-cache flagship stage 297 s vs
+    # >900 s an hour later). The emit-superset protocol makes a hard kill at
+    # any point lossless-to-the-last-stage, so a larger default only ever
+    # adds blocks to the artifact; 1200 s guaranteed skipped blocks two
+    # rounds running (r4: serving/serving_flagship/scanned all skipped).
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     result: dict = {}
 
     def emit():
@@ -670,6 +764,10 @@ def main():
     _enable_compile_cache()
 
     jax_ips = bench_jax()
+    # headline jax measurement done -> overlap the flagship-family compiles
+    # with the torch-cpu baselines and the parity stage (which measure CPU
+    # throughput / numerical deltas, not TPU latency). See _PREWARM.
+    start_prewarm()
     torch_runs = []
     for _ in range(TORCH_RUNS):
         try:
@@ -728,13 +826,17 @@ def main():
     # state — an r4 run that measured f32 last, after a failed serving stage,
     # recorded 150.9 ms vs its steady-state ~55 ms), then serving.
     run_stage(result, "parity", bench_parity, 240.0)
+    # Quiet the tunnel before anything latency-sensitive runs: wait out all
+    # background compiles (uploads contend with measurement dispatches).
+    flagship["prewarm_wait_s"] = round(prewarm_barrier(), 1)
+    # flagship stages consume the prewarmed executables (see _PREWARM):
+    # their own cost is seconds of measurement + however long the background
+    # compile still needs; reserves sized for the wait-then-measure shape.
     run_stage(flagship, "bfloat16", lambda: bench_flagship("bfloat16"), 120.0)
-    run_stage(flagship, "float32", lambda: bench_flagship("float32"), 180.0)
-    run_stage(result, "serving", bench_serving, 180.0)
-    run_stage(result, "serving_flagship", bench_serving_flagship, 240.0)
-    # last: worst case (cold scanned-loop compile) sacrifices only itself,
-    # never the per-dispatch flagship/serving blocks above
-    run_stage(flagship, "bfloat16_scanned", bench_flagship_scanned, 150.0)
+    run_stage(flagship, "float32", lambda: bench_flagship("float32"), 120.0)
+    run_stage(result, "serving", bench_serving, 120.0)
+    run_stage(result, "serving_flagship", bench_serving_flagship, 180.0)
+    run_stage(flagship, "bfloat16_scanned", bench_flagship_scanned, 90.0)
 
 
 if __name__ == "__main__":
