@@ -71,9 +71,18 @@ def main():
 
     epoch = jax.jit(make_scan_epoch(step, n_states=1), donate_argnums=0)
     rngs = jax.random.split(key, SCAN_N)
+    # SCHED_OPTS: JSON dict of XLA compiler options for the scheduler-flag
+    # probe (VERDICT r4 #8). XLA_FLAGS cannot carry TPU-backend flags here —
+    # the axon client's local flag parser rejects them (Unknown flag); the
+    # per-compile compiler_options proto reaches the remote compile service,
+    # which validates them (bogus names -> HTTP 500).
+    import os
+    sched_opts = json.loads(os.environ.get("SCHED_OPTS", "null"))
     t_c0 = time.perf_counter()
-    compiled = epoch.lower((state,), stacked, rngs).compile()
-    print(f"compiled in {time.perf_counter() - t_c0:.0f}s", file=sys.stderr)
+    compiled = epoch.lower((state,), stacked, rngs).compile(
+        compiler_options=sched_opts)
+    print(f"compiled in {time.perf_counter() - t_c0:.0f}s "
+          f"(compiler_options={sched_opts})", file=sys.stderr)
     (state,), losses = compiled((state,), stacked, rngs)
     float(np.asarray(losses["loss"])[0])
     t0 = time.perf_counter()
