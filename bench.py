@@ -146,7 +146,13 @@ def _scanned_runner():
     from causalvae_tpu.ops.subpixel import space_to_depth_n
     from causalvae_tpu.train.scan_loop import make_scan_epoch
 
-    SCAN_N = 8
+    # Scan length amortizes the per-dispatch cost, which through the remote
+    # tunnel is ~14 ms/dispatch (measured N-sweep, EVIDENCE round 5:
+    # 39.2 ms/step at N=8, 37.9 at N=32 -> o~=14 ms, device-true step
+    # ~=37.5 ms). 32 steps/dispatch is production-realistic (vessel epochs
+    # are dozens of steps; CLI --scan-steps) and within ~0.4 ms of the
+    # asymptote; the stacked-batch HBM cost is ~1 GB.
+    SCAN_N = 32
     step, state, _, key = _flagship_setup("bfloat16")
     rng = np.random.default_rng(7)
     stacked = {
@@ -263,8 +269,8 @@ def bench_flagship_scanned() -> dict:
     and XLA cannot hoist batch-dependent work (dynamic pos_weight, input
     transforms) out of the loop as invariants (ADVICE r4 medium). Removes the
     per-launch host-dispatch/tunnel cost from the measured step.
-    HLO-identical to scripts/flagship_scan_bench.py so the persistent compile
-    cache is shared."""
+    HLO-identical to scripts/flagship_scan_bench.py run at the same SCAN_N
+    so the persistent compile cache is shared."""
     import jax
     import numpy as np
 

@@ -23,9 +23,15 @@ from causalvae_tpu.ops import losses as L
 from causalvae_tpu.train.loop import make_vae_step
 from causalvae_tpu.train.state import TrainState
 
+import os
+
 BATCH = 8
 HW = (768, 1280)
-SCAN_N = 8
+# SCAN_N=8 is the production default (bench.py number of record); override
+# to probe how much per-dispatch overhead remains in scanned mode (at N=8 a
+# ~2 ms launch cost amortizes to ~0.25 ms/step; N=32 should shave ~0.19 of
+# that if the ledger's decomposition is right, i.e. barely move).
+SCAN_N = int(os.environ.get("SCAN_N", "8"))
 
 
 def main():
@@ -76,7 +82,6 @@ def main():
     # the axon client's local flag parser rejects them (Unknown flag); the
     # per-compile compiler_options proto reaches the remote compile service,
     # which validates them (bogus names -> HTTP 500).
-    import os
     sched_opts = json.loads(os.environ.get("SCHED_OPTS", "null"))
     t_c0 = time.perf_counter()
     compiled = epoch.lower((state,), stacked, rngs).compile(
